@@ -1,38 +1,508 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes the engine's operator surface (SURVEY.md §2) over the
+driver's TPC-H-ish testdata; each SQL-expressible query has a DuckDB oracle
+in ``oracle_sql()`` (same column names, floats rounded identically on both
+sides). Graph algorithms (iterative, non-SQL-expressible) are rows-only
+here and verified against golden fixtures in tests/.
+
+Spark/DuckDB comparability rules used throughout:
+- session TZ is UTC (session.py); timestamps leave results as unix
+  seconds/millis (longs), never raw timestamps;
+- every float aggregate is rounded the same on both sides;
+- DuckDB ``sum(int)`` returns HUGEINT → oracles cast to BIGINT;
+- shared deterministic primitives only (md5, substring, arithmetic).
 """
 
 from __future__ import annotations
 
+import os
+import tempfile
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
 
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# transcripts view derived from the events table (deterministic), so the
+# graph pipeline runs end-to-end on driver-provided data: actors = users,
+# conversations = (event_type, day) co-occurrence buckets.
+# ---------------------------------------------------------------------------
+
+def transcripts_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    conv = F.concat(F.col("event_type"), F.lit("-"), (F.unix_timestamp("ts") / 86400).cast("long").cast("string"))
+    w = Window.partitionBy(conv).orderBy("ts", "event_id")
+    return ev.select(
+        conv.alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("role"),
+        F.col("props").alias("text"),
+        F.col("event_type").alias("tool"),
+        F.col("ts"),
+    )
+
+
+def _graph(spark: SparkSession, sf_dir: str):
+    from sharetrace_giraph_spark.operators import edges as E
+
+    t = transcripts_from_events(spark, sf_dir)
+    contacts = E.derive_contacts(t, duration_threshold_s=0, session_gap_s=6 * 3600)
+    verts = E.vertex_ids(contacts)
+    enc = E.encode_edges(contacts, verts)
+    return contacts, verts, enc
+
+
+def _ckpt() -> str:
+    return tempfile.mkdtemp(prefix="stgs-ckpt-")
+
+
+# ---------------------------------------------------------------------------
+# the queries
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full pipeline (events → transcripts → contact edges →
+    PageRank under the checkpointed superstep driver) on sf0.001."""
+    return q_graph_pagerank(spark, "/root/testdata/sf0.001")
+
+
+def q_graph_pagerank(spark, sf_dir):
+    from sharetrace_giraph_spark.algorithms import pagerank
+    from sharetrace_giraph_spark.operators import edges as E
+
+    contacts, verts, enc = _graph(spark, sf_dir)
+    res = pagerank(spark, E.undirect(enc), verts, _ckpt(), run_id="q",
+                   tolerance=0.0, max_supersteps=5)
+    out = res.state.join(verts, "vertex_id").select(
+        "role", F.round("rank", 9).alias("rank")
+    )
+    return out.orderBy("role")
+
+
+def q_graph_cc(spark, sf_dir):
+    from sharetrace_giraph_spark.algorithms import connected_components
+    from sharetrace_giraph_spark.operators import edges as E
+
+    contacts, verts, enc = _graph(spark, sf_dir)
+    res = connected_components(spark, E.undirect(enc), verts, _ckpt(),
+                               run_id="q", max_supersteps=50)
+    return res.state.join(verts, "vertex_id").select("role", "comp").orderBy("role")
+
+
+def q_graph_lpa(spark, sf_dir):
+    from sharetrace_giraph_spark.algorithms import label_propagation
+    from sharetrace_giraph_spark.operators import edges as E
+
+    contacts, verts, enc = _graph(spark, sf_dir)
+    res = label_propagation(spark, E.undirect(enc), verts, _ckpt(),
+                            run_id="q", max_supersteps=5)
+    return res.state.join(verts, "vertex_id").select("role", "label").orderBy("role")
+
+
+def q_graph_triangles(spark, sf_dir):
+    from sharetrace_giraph_spark.algorithms import triangles
+    from sharetrace_giraph_spark.operators import edges as E
+
+    contacts, verts, enc = _graph(spark, sf_dir)
+    _, per_vertex = triangles(spark, enc, verts)
+    return per_vertex.join(verts, "vertex_id").select("role", "n_triangles").orderBy("role")
+
+
+def q_graph_risk_prop(spark, sf_dir):
+    from sharetrace_giraph_spark.algorithms import final_scores, risk_propagation
+
+    contacts, verts, enc = _graph(spark, sf_dir)
+    ev = _t(spark, sf_dir, "events")
+    # deterministic synthetic risk scores: per user, value = pmod(user hash)
+    scores = ev.groupBy(F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("id")).agg(
+        F.max("ts").alias("update_time"),
+        F.round(F.pmod(F.xxhash64(F.col("user_id")), F.lit(1000)) / 1000.0, 3).alias("value"),
+    )
+    res = risk_propagation(spark, contacts, scores, _ckpt(), run_id="q",
+                           transmission_rate=0.8, max_supersteps=5)
+    return final_scores(res.state).select(
+        F.col("vertex_id").alias("role"),
+        F.round("value", 9).alias("value"),
+        F.unix_timestamp("update_time").alias("update_s"),
+    ).orderBy("role")
+
+
+# -- filters / projections (F1, P1, P3, S1/S2 analogs) -----------------------
+
+def q_expiry_filter(spark, sf_dir):
+    """F1 analog: scan-time predicate pushdown — drop 'expired' lineitems."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def q_substring_obfuscate(spark, sf_dir):
+    """P1 analog: drop the last 3 chars (geohash coarsening)."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.expr("substring(c_name, 1, length(c_name) - 3)").alias("c_name_coarse"),
+    ).orderBy("c_custkey")
+
+
+def q_top1_per_key(spark, sf_dir):
+    """W1/P3/S2 analog: top-1 event per user under (value, ts, event_id)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("value"), F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_id", F.round("value", 6).alias("value"))
+        .orderBy("user_id")
+    )
+
+
+def q_max_by_natural_order(spark, sf_dir):
+    """A1 analog: max under composite natural order (ts, value, event_id),
+    returning the max element's value — Collections.max re-expressed."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(F.max(F.struct("ts", "value", "event_id")).alias("m"))
+        .select(
+            "user_id",
+            F.col("m.event_id").alias("event_id"),
+            F.round(F.col("m.value"), 6).alias("value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# -- aggregations (A2/A5 partial+final, TPC-H Q1/Q6 shapes) ------------------
+
+def q_groupby_multi_agg(spark, sf_dir):
+    """TPC-H Q1 shape — the partial+final hash-agg (combiner A5) surface."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_filtered_sum_pushdown(spark, sf_dir):
+    """TPC-H Q6 shape — predicate + projection pushdown to the scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias("revenue")
+    )
+
+
+# -- joins (J1/J3/J5 analogs) -------------------------------------------------
+
+def q_join_agg_revenue(spark, sf_dir):
+    """J1-shaped equi hash join chain + agg: revenue per nation."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+             F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("n_name")
+    )
+
+
+def q_semi_join(spark, sf_dir):
+    """J5 analog: users present in the output get writes (left semi)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_mktsegment"
+    ).orderBy("c_custkey")
+
+
+def q_anti_join(spark, sf_dir):
+    """U2-shaped exclusion: customers with no orders."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    ).orderBy("c_custkey")
+
+
+def q_theta_self_join_pairs(spark, sf_dir):
+    """J3 analog: all-unique-pairs generation (strictly upper triangular),
+    blocked by region — the contact-matching candidate generator."""
+    n = _t(spark, sf_dir, "nation")
+    a, b = n.alias("a"), n.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.n_regionkey") == F.col("b.n_regionkey"))
+            & (F.col("a.n_name") < F.col("b.n_name")),
+        )
+        .select(
+            F.col("a.n_regionkey").alias("regionkey"),
+            F.col("a.n_name").alias("n1"),
+            F.col("b.n_name").alias("n2"),
+        )
+        .orderBy("regionkey", "n1", "n2")
+    )
+
+
+# -- windows / sessionization (W4, J4 analog) ---------------------------------
+
+def q_sessionize(spark, sf_dir):
+    """W4 gaps-and-islands: per-user session count with a 30-min gap rule —
+    the transcript sessionizer over the events stream."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ep = F.col("ts").cast("timestamp").cast("long")
+    gap = ep - F.lag(ep).over(w)
+    brk = F.when(gap > 1800, 1).otherwise(0)
+    return (
+        ev.withColumn("brk", brk)
+        .groupBy("user_id")
+        .agg((F.sum("brk") + 1).alias("n_sessions"), F.count(F.lit(1)).alias("n_events"))
+        .orderBy("user_id")
+    )
+
+
+def q_adjacent_gap_threshold(spark, sf_dir):
+    """J4 scalar analog: Duration.between + threshold — count per-user
+    adjacent event gaps >= 15 min."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ep = F.col("ts").cast("timestamp").cast("long")
+    gap = ep - F.lag(ep).over(w)
+    return (
+        ev.withColumn("gap", gap)
+        .where(F.col("gap") >= 900)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_long_gaps"))
+        .orderBy("user_id")
+    )
+
+
+# -- sorts / limits (O1/O2) ----------------------------------------------------
+
+def q_order_offset_limit(spark, sf_dir):
+    """O2 analog: the PDA source's orderBy + skip + take pagination."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.orderBy("ts", "event_id")
+        .select("event_id", "event_type", F.unix_timestamp("ts").alias("ts_s"))
+        .offset(100)
+        .limit(50)
+    )
+
+
+def q_sorted_sequence(spark, sf_dir):
+    """O1 analog: the sorted-set invariant — deterministic per-user ordered
+    event-type sequence."""
+    ev = _t(spark, sf_dir, "events")
+    seq = F.array_join(
+        F.expr(
+            "transform(array_sort(collect_list(struct(ts, event_id, event_type))),"
+            " x -> x.event_type)"
+        ),
+        ",",
+    )
+    return ev.groupBy("user_id").agg(seq.alias("type_seq")).orderBy("user_id")
+
+
+# -- set ops (U1/U3) ------------------------------------------------------------
+
+def q_union_dedup(spark, sf_dir):
+    """U1 analog: set union with dedup."""
+    ev = _t(spark, sf_dir, "events")
+    a = ev.where(F.col("event_type") == "purchase").select("user_id")
+    b = ev.where(F.col("value") > 50).select("user_id")
+    return a.union(b).distinct().orderBy("user_id")
+
+
+def q_epoch_millis(spark, sf_dir):
+    """§2.8 scalar surface: epoch-milli ↔ timestamp conversion."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id", F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms")
+    ).orderBy("event_id").limit(500)
+
+
+# ---------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # graph pipeline (rows-only; golden-fixture-verified in tests/)
+        "graph_pagerank": q_graph_pagerank,
+        "graph_cc": q_graph_cc,
+        "graph_lpa": q_graph_lpa,
+        "graph_triangles": q_graph_triangles,
+        "graph_risk_prop": q_graph_risk_prop,
+        # relational surface with DuckDB oracles
+        "expiry_filter": q_expiry_filter,
+        "substring_obfuscate": q_substring_obfuscate,
+        "top1_per_key": q_top1_per_key,
+        "max_by_natural_order": q_max_by_natural_order,
+        "groupby_multi_agg": q_groupby_multi_agg,
+        "filtered_sum_pushdown": q_filtered_sum_pushdown,
+        "join_agg_revenue": q_join_agg_revenue,
+        "semi_join": q_semi_join,
+        "anti_join": q_anti_join,
+        "theta_self_join_pairs": q_theta_self_join_pairs,
+        "sessionize": q_sessionize,
+        "adjacent_gap_threshold": q_adjacent_gap_threshold,
+        "order_offset_limit": q_order_offset_limit,
+        "sorted_sequence": q_sorted_sequence,
+        "union_dedup": q_union_dedup,
+        "epoch_millis": q_epoch_millis,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "expiry_filter": """
+            SELECT l_returnflag,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(sum(l_quantity), 4) AS sum_qty
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+            GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "substring_obfuscate": """
+            SELECT c_custkey,
+                   substring(c_name, 1, length(c_name) - 3) AS c_name_coarse
+            FROM customer ORDER BY c_custkey
+        """,
+        "top1_per_key": """
+            SELECT user_id, event_id, round(value, 6) AS value FROM (
+                SELECT user_id, event_id, value,
+                       row_number() OVER (PARTITION BY user_id
+                           ORDER BY value DESC, ts DESC, event_id DESC) AS rn
+                FROM events) WHERE rn = 1 ORDER BY user_id
+        """,
+        "max_by_natural_order": """
+            SELECT user_id, event_id, round(value, 6) AS value FROM (
+                SELECT user_id, event_id, value,
+                       row_number() OVER (PARTITION BY user_id
+                           ORDER BY ts DESC, value DESC, event_id DESC) AS rn
+                FROM events) WHERE rn = 1 ORDER BY user_id
+        """,
+        "groupby_multi_agg": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 4) AS sum_qty,
+                   round(sum(l_extendedprice), 4) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+                   round(avg(l_quantity), 6) AS avg_qty,
+                   round(avg(l_discount), 6) AS avg_disc,
+                   CAST(count(*) AS BIGINT) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "filtered_sum_pushdown": """
+            SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND l_discount BETWEEN 0.05 AND 0.07
+              AND l_quantity < 24
+        """,
+        "join_agg_revenue": """
+            SELECT n_name,
+                   round(sum(o_totalprice), 4) AS revenue,
+                   CAST(count(*) AS BIGINT) AS n_orders
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name ORDER BY n_name
+        """,
+        "semi_join": """
+            SELECT c_custkey, c_mktsegment FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+            ORDER BY c_custkey
+        """,
+        "anti_join": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+            ORDER BY c_custkey
+        """,
+        "theta_self_join_pairs": """
+            SELECT a.n_regionkey AS regionkey, a.n_name AS n1, b.n_name AS n2
+            FROM nation a JOIN nation b
+              ON a.n_regionkey = b.n_regionkey AND a.n_name < b.n_name
+            ORDER BY regionkey, n1, n2
+        """,
+        "sessionize": """
+            WITH g AS (
+                SELECT user_id,
+                       CASE WHEN floor(epoch(ts)) - lag(floor(epoch(ts))) OVER
+                            (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+                            THEN 1 ELSE 0 END AS brk
+                FROM events)
+            SELECT user_id,
+                   CAST(sum(brk) + 1 AS BIGINT) AS n_sessions,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM g GROUP BY user_id ORDER BY user_id
+        """,
+        "adjacent_gap_threshold": """
+            WITH g AS (
+                SELECT user_id,
+                       floor(epoch(ts)) - lag(floor(epoch(ts))) OVER
+                           (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+                FROM events)
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_long_gaps
+            FROM g WHERE gap >= 900 GROUP BY user_id ORDER BY user_id
+        """,
+        "order_offset_limit": """
+            SELECT event_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+            FROM events ORDER BY ts, event_id LIMIT 50 OFFSET 100
+        """,
+        "sorted_sequence": """
+            SELECT user_id,
+                   string_agg(event_type, ',' ORDER BY ts, event_id) AS type_seq
+            FROM events GROUP BY user_id ORDER BY user_id
+        """,
+        "union_dedup": """
+            SELECT DISTINCT user_id FROM (
+                SELECT user_id FROM events WHERE event_type = 'purchase'
+                UNION ALL
+                SELECT user_id FROM events WHERE value > 50
+            ) ORDER BY user_id
+        """,
+        "epoch_millis": """
+            SELECT event_id, CAST(epoch_ms(ts) AS BIGINT) AS ts_ms
+            FROM events ORDER BY event_id LIMIT 500
+        """,
+    }

@@ -1,0 +1,15 @@
+from .connected_components import connected_components
+from .label_propagation import label_propagation
+from .pagerank import pagerank
+from .risk_propagation import final_scores, init_state, risk_propagation
+from .triangle_count import triangles
+
+__all__ = [
+    "connected_components",
+    "label_propagation",
+    "pagerank",
+    "risk_propagation",
+    "init_state",
+    "final_scores",
+    "triangles",
+]

@@ -1,0 +1,70 @@
+"""Label propagation (community detection), synchronous + deterministic.
+
+Each superstep every vertex adopts the **mode** of its neighbors' labels
+with a deterministic (count desc, label asc) tie-break — SURVEY §7's
+requirement for exact-match reproducibility (the classic async/randomized
+LPA is not reproducible and is therefore not what we build). The neighbor
+mode is a two-stage aggregate: ``groupBy(dst, label).count`` then
+``max_by(label, (count, -label))`` — both Catalyst hash aggs with map-side
+partial combine, no window needed.
+
+Synchronous LPA can two-cycle on bipartite structures; the driver's
+superstep cap bounds that, and the change-count delta reports
+non-convergence honestly instead of spinning.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..plans.superstep import SuperstepDriver, SuperstepResult
+
+
+def label_propagation(
+    spark: SparkSession,
+    edges: DataFrame,
+    vertices: DataFrame,
+    checkpoint_dir: str,
+    run_id: str = "lpa",
+    max_supersteps: int = 5,
+    num_partitions: int | None = None,
+    resume: bool = True,
+) -> SuperstepResult:
+    """Returns state (vertex_id, label, delta). Labels init to vertex_id."""
+    num_partitions = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    e = edges.select("src", "dst").repartition(num_partitions, "src").persist()
+    verts = vertices.select("vertex_id").persist()
+    e.count()
+
+    init = verts.select("vertex_id", F.col("vertex_id").alias("label"), F.lit(1.0).alias("delta"))
+
+    def step(state: DataFrame, k: int) -> DataFrame:
+        label_counts = (
+            e.join(state, e.src == state.vertex_id)
+            .groupBy(e.dst.alias("mdst"), F.col("label").alias("nbr_label"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        # mode with (count desc, label asc) tie-break: max_by over (cnt, -label)
+        mode = label_counts.groupBy("mdst").agg(
+            F.max_by("nbr_label", F.struct(F.col("cnt"), (-F.col("nbr_label")).alias("neg"))).alias("mode_label")
+        )
+        return (
+            state.join(mode, state.vertex_id == F.col("mdst"), "left")
+            .select(
+                "vertex_id",
+                F.coalesce("mode_label", "label").alias("new_label"),
+                F.col("label").alias("old_label"),
+            )
+            .select(
+                "vertex_id",
+                F.col("new_label").alias("label"),
+                F.when(F.col("new_label") != F.col("old_label"), 1.0).otherwise(0.0).alias("delta"),
+            )
+        )
+
+    driver = SuperstepDriver(spark, checkpoint_dir, run_id, "label_propagation", num_partitions)
+    res = driver.run(init, step, max_supersteps=max_supersteps, tolerance=0.5, resume=resume)
+    e.unpersist()
+    verts.unpersist()
+    return res

@@ -1,0 +1,193 @@
+"""PageRank over the contact graph — two kernels, one driver loop.
+
+Kernels:
+
+- ``relational`` (default): pure DataFrame join+agg. Each superstep is
+  ``edges ⋈ state`` (hash equi-join on src — the J1 gather-scatter
+  self-join from SURVEY §2.3) followed by ``groupBy(dst).sum`` (Catalyst
+  partial+final hash agg = the reference's pre-shuffle combiner, A5
+  analog for messages). Catalyst/Tungsten keeps the whole step in
+  codegen; AQE splits skewed join partitions at runtime.
+- ``csr``: per-partition CSR gather-scatter in Arrow/numpy (the north
+  star's inner loop). Edges are pre-blocked by ``pmod(src, P)`` and
+  cogrouped with the co-blocked rank state; inside the kernel the block's
+  contributions are computed vectorized (searchsorted gather +
+  np.add.at scatter) and **pre-combined per destination** before leaving
+  Python — shuffle volume drops from E rows to unique-dst-per-block.
+
+Both kernels iterate under the checkpointed SuperstepDriver (resume,
+lineage metrics, L1-delta halt). Edges (and degree) are computed once and
+cached — the reference's STATIC_GRAPH=true analog
+(``BeliefPropagationRunner.java:59``).
+
+Semantics: standard damped PageRank, ranks sum to 1 over V vertices,
+dangling mass redistributed uniformly; convergence = L1(rank_k - rank_{k-1})
+< tolerance (DeltaAggregator / MasterComputer analog, 1e-5 default; tests
+use 1e-6 per the north rule).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import pandas as pd
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.skew import hub_vertices, salted_sum
+from ..plans.superstep import SuperstepDriver, SuperstepResult
+
+
+def _prepare(edges: DataFrame, vertices: DataFrame, num_partitions: int):
+    """Cache iteration-invariant inputs: out-degree-weighted edges and the
+    vertex universe. ``edges`` must already be directed (use
+    ``operators.edges.undirect`` for contact graphs)."""
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    edges_w = (
+        edges.join(deg, "src")
+        .select("src", "dst", (F.lit(1.0) / F.col("out_deg")).alias("inv_deg"))
+        .repartition(num_partitions, "src")
+        .persist()
+    )
+    verts = vertices.select("vertex_id").repartition(num_partitions, "vertex_id").persist()
+    n = verts.count()
+    edges_w.count()  # materialize cache before the loop
+    return edges_w, verts, n
+
+
+def pagerank(
+    spark: SparkSession,
+    edges: DataFrame,
+    vertices: DataFrame,
+    checkpoint_dir: str,
+    run_id: str = "pr",
+    damping: float = 0.85,
+    max_supersteps: int = 20,
+    tolerance: float = 1e-6,
+    kernel: str = "relational",
+    num_partitions: int | None = None,
+    salt_threshold: int | None = None,
+    salts: int = 16,
+    handle_dangling: bool = True,
+    resume: bool = True,
+) -> SuperstepResult:
+    """Returns SuperstepResult whose state is (vertex_id, rank, delta)."""
+    num_partitions = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    edges_w, verts, n = _prepare(edges, vertices, num_partitions)
+
+    hubs = None
+    if salt_threshold is not None:
+        hubs = hub_vertices(edges_w, salt_threshold, "in").persist()
+        hubs.count()
+
+    # vertices with no outgoing edge leak rank mass unless redistributed
+    dangling = None
+    if handle_dangling:
+        dangling = verts.join(
+            edges_w.select("src").distinct(),
+            verts.vertex_id == F.col("src"),
+            "left_anti",
+        ).persist()
+        if dangling.isEmpty():
+            dangling = None
+
+    init = verts.select(
+        "vertex_id", F.lit(1.0 / n).alias("rank"), F.lit(1.0).alias("delta")
+    )
+
+    if kernel == "csr":
+        blocked = (
+            edges_w.withColumn("part", F.pmod("src", F.lit(num_partitions)).cast("int"))
+            .repartition(num_partitions, "part")
+            .persist()
+        )
+        blocked.count()
+
+    def step(state: DataFrame, k: int) -> DataFrame:
+        if kernel == "csr":
+            msgs = _csr_messages(blocked, state, num_partitions)
+        else:
+            msgs = (
+                edges_w.join(state, edges_w.src == state.vertex_id)
+                .select(edges_w.dst.alias("mdst"), (F.col("rank") * F.col("inv_deg")).alias("contrib"))
+            )
+        if hubs is not None:
+            inc = salted_sum(
+                msgs.select(F.col("mdst").alias("dst"), "contrib"),
+                key="dst", value="contrib",
+                hubs=hubs, salts=salts, salt_source=None,
+            ).select(F.col("dst").alias("mdst"), F.col("contrib").alias("contrib"))
+        else:
+            inc = msgs.groupBy("mdst").agg(F.sum("contrib").alias("contrib"))
+
+        base = F.lit((1.0 - damping) / n)
+        joined = (
+            verts.join(inc, verts.vertex_id == F.col("mdst"), "left")
+            .join(state.select(F.col("vertex_id").alias("ov"), F.col("rank").alias("old_rank")),
+                  verts.vertex_id == F.col("ov"))
+        )
+        if dangling is not None:
+            # in-plan scalar: summed dangling mass as a 1-row broadcast
+            dmass = (
+                state.join(dangling, "vertex_id", "left_semi")
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dangling_mass"))
+            )
+            joined = joined.crossJoin(F.broadcast(dmass))
+            extra = damping * F.col("dangling_mass") / n
+        else:
+            extra = F.lit(0.0)
+
+        new_rank = base + damping * F.coalesce(F.col("contrib"), F.lit(0.0)) + extra
+        return joined.select(
+            verts.vertex_id.alias("vertex_id"),
+            new_rank.alias("rank"),
+            F.abs(new_rank - F.col("old_rank")).alias("delta"),
+        )
+
+    driver = SuperstepDriver(spark, checkpoint_dir, run_id, "pagerank", num_partitions)
+    result = driver.run(init, step, max_supersteps=max_supersteps, tolerance=tolerance, resume=resume)
+    edges_w.unpersist()
+    verts.unpersist()
+    return result
+
+
+def _csr_messages(blocked: DataFrame, state: DataFrame, num_partitions: int) -> DataFrame:
+    """Per-block CSR gather-scatter with in-kernel destination pre-combine.
+
+    cogroup keys both sides by the src block id; the kernel gathers ranks
+    into edge order via searchsorted (vectorized binary search over the
+    block's sorted vertex ids) and scatter-adds contributions per unique
+    destination before emitting — the Arrow/pandas analog of Giraph's
+    message combiner.
+    """
+    st = state.withColumn("part", F.pmod("vertex_id", F.lit(num_partitions)).cast("int"))
+
+    def kernel(edf: pd.DataFrame, sdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        if len(edf) == 0 or len(sdf) == 0:
+            return pd.DataFrame({"mdst": pd.Series(dtype="int64"),
+                                 "contrib": pd.Series(dtype="float64")})
+        vid = sdf["vertex_id"].to_numpy(dtype="int64")
+        rank = sdf["rank"].to_numpy(dtype="float64")
+        order = np.argsort(vid, kind="stable")
+        vid, rank = vid[order], rank[order]
+
+        src = edf["src"].to_numpy(dtype="int64")
+        dst = edf["dst"].to_numpy(dtype="int64")
+        inv = edf["inv_deg"].to_numpy(dtype="float64")
+
+        idx = np.searchsorted(vid, src)
+        contrib = rank[idx] * inv
+
+        udst, dinv = np.unique(dst, return_inverse=True)
+        acc = np.zeros(len(udst), dtype="float64")
+        np.add.at(acc, dinv, contrib)
+        return pd.DataFrame({"mdst": udst, "contrib": acc})
+
+    return (
+        blocked.groupBy("part")
+        .cogroup(st.groupBy("part"))
+        .applyInPandas(lambda e, s: kernel(e, s), "mdst long, contrib double")
+    )

@@ -1,0 +1,203 @@
+"""Edge derivation: transcripts → contacts (the ContactMatching analog).
+
+Reference semantics re-expressed (citations into /root/reference):
+
+- J3  all-pairs candidate generation (``contactmatching/ContactMatchingComputation.java:63-81``)
+      was an O(N^2) cross join over users. Our graft blocks on the shared
+      ``conv_id`` (and session window), turning it into an equi self-join —
+      the move that makes 10^12 turns tractable: candidate pairs are
+      bounded by (participants-per-session choose 2) * #sessions, never N^2.
+- J4  sorted-merge interval intersection (``ContactMatchingComputation.java:91-145``):
+      same-location runs >= 15 min become Occurrences, start = later entry,
+      end = earlier diverging entry. Our analog: per (conv, session) the
+      co-presence interval of two actors is [max(first_ts), min(last_ts)];
+      it becomes an occurrence iff duration >= threshold. The reference's
+      random tie-break advance (:128-133) is nondeterminism we do NOT
+      reproduce — ours is a pure function of the input.
+- W4  sessionization (gaps-and-islands): a gap > ``session_gap_s`` between
+      consecutive turns of a conversation starts a new session.
+- A5  duplicate-contact merge (``combine/FactorGraphVertexValueCombiner.java:59-69``):
+      occurrences of the same (src, dst) pair union + dedup + sort.
+- F1/F6 expiry (``filter/ExpiredFactorVertexFilter.java:30-47``,
+      ``FactorGraphVertexValueCombiner.java:72-78``): occurrences older than
+      an *injected* cutoff are dropped (the reference derives the cutoff
+      from Instant.now() — BPContext.java:19-20 — which we parameterize for
+      reproducibility), and a contact with no live occurrences is dropped.
+- Symmetric equality of Contact (``contact/AbstractContact.java:42-57``)
+      becomes the canonical ordering src < dst.
+
+Output::
+
+    contacts(src: string, dst: string,
+             occurrences: array<struct<time: timestamp, duration_ms: long>>)
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+#: reference contact-duration threshold: 15 minutes
+#: (``ContactMatchingComputation.java:46``)
+DEFAULT_DURATION_THRESHOLD_S = 15 * 60
+
+#: gap that splits a conversation into sessions (ours; the reference's
+#: location streams had no explicit gap rule — divergence documented)
+DEFAULT_SESSION_GAP_S = 30 * 60
+
+
+def _epoch_s(col) -> F.Column:
+    """Epoch seconds from TIMESTAMP or TIMESTAMP_NTZ (NTZ can't cast to
+    long directly; with the session pinned to UTC the two agree)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("timestamp").cast("long")
+
+
+def sessionize(transcripts: DataFrame, session_gap_s: int = DEFAULT_SESSION_GAP_S) -> DataFrame:
+    """Add a ``session_id`` column: gaps-and-islands over (conv_id, ts).
+
+    Window is partitioned by ``conv_id`` — bounded rows per key (turns per
+    conversation), so this scales linearly with no global sort.
+    """
+    w = Window.partitionBy("conv_id").orderBy("ts", "turn_idx")
+    gap = _epoch_s("ts") - F.lag(_epoch_s("ts")).over(w)
+    new_session = F.when(gap.isNull() | (gap <= session_gap_s), F.lit(0)).otherwise(F.lit(1))
+    return transcripts.withColumn("session_id", F.sum(new_session).over(w))
+
+
+def derive_contacts(
+    transcripts: DataFrame,
+    duration_threshold_s: int = DEFAULT_DURATION_THRESHOLD_S,
+    session_gap_s: int = DEFAULT_SESSION_GAP_S,
+    expiry_cutoff: dt.datetime | None = None,
+    include_tool_edges: bool = False,
+) -> DataFrame:
+    """transcripts → contacts(src, dst, occurrences).
+
+    Plan shape (scale notes):
+      1. window sessionization per conv_id          — 1 shuffle on conv_id
+      2. per (conv, session, role) span agg         — reuses the same
+         hash partitioning (conv_id prefix), partial agg map-side
+      3. equi self-join on (conv_id, session_id)    — blocked pair gen;
+         AQE handles stragglers, participants/session is small by schema
+      4. groupBy(src, dst) occurrence merge (A5)    — 1 shuffle on the pair
+    """
+    spans = (
+        sessionize(transcripts, session_gap_s)
+        .groupBy("conv_id", "session_id", "role")
+        .agg(F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts"))
+    )
+
+    a, b = spans.alias("a"), spans.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.conv_id") == F.col("b.conv_id"))
+        & (F.col("a.session_id") == F.col("b.session_id"))
+        & (F.col("a.role") < F.col("b.role")),
+    )
+
+    start = F.greatest(F.col("a.first_ts"), F.col("b.first_ts"))
+    end = F.least(F.col("a.last_ts"), F.col("b.last_ts"))
+    duration_s = _epoch_s(end) - _epoch_s(start)
+
+    occ = pairs.select(
+        F.col("a.role").alias("src"),
+        F.col("b.role").alias("dst"),
+        F.struct(
+            start.alias("time"), (duration_s * 1000).cast("long").alias("duration_ms")
+        ).alias("occurrence"),
+    ).where(duration_s >= duration_threshold_s)
+
+    if include_tool_edges:
+        occ = occ.unionByName(
+            _tool_cooccurrence(transcripts, session_gap_s, duration_threshold_s)
+        )
+
+    contacts = occ.groupBy("src", "dst").agg(
+        F.array_sort(F.collect_set("occurrence")).alias("occurrences")
+    )
+
+    if expiry_cutoff is not None:
+        cutoff = F.lit(expiry_cutoff)
+        contacts = contacts.withColumn(
+            "occurrences", F.filter("occurrences", lambda o: o["time"] >= cutoff)
+        ).where(F.size("occurrences") > 0)
+
+    return contacts
+
+
+def _tool_cooccurrence(
+    transcripts: DataFrame, session_gap_s: int, duration_threshold_s: int
+) -> DataFrame:
+    """Secondary edge signal: two actors using the same tool in the same
+    (conv, session). A strict subset refinement of the conv blocking key —
+    kept separate so same-tool affinity can carry its own occurrence rows.
+    """
+    spans = (
+        sessionize(transcripts, session_gap_s)
+        .where(F.col("tool").isNotNull())
+        .groupBy("conv_id", "session_id", "tool", "role")
+        .agg(F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts"))
+    )
+    a, b = spans.alias("a"), spans.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.conv_id") == F.col("b.conv_id"))
+        & (F.col("a.session_id") == F.col("b.session_id"))
+        & (F.col("a.tool") == F.col("b.tool"))
+        & (F.col("a.role") < F.col("b.role")),
+    )
+    start = F.greatest(F.col("a.first_ts"), F.col("b.first_ts"))
+    end = F.least(F.col("a.last_ts"), F.col("b.last_ts"))
+    duration_s = _epoch_s(end) - _epoch_s(start)
+    return pairs.select(
+        F.col("a.role").alias("src"),
+        F.col("b.role").alias("dst"),
+        F.struct(
+            start.alias("time"), (duration_s * 1000).cast("long").alias("duration_ms")
+        ).alias("occurrence"),
+    ).where(duration_s >= duration_threshold_s)
+
+
+# ---------------------------------------------------------------------------
+# Vertex encoding: string actor ids → dense longs for the iteration kernels.
+# ---------------------------------------------------------------------------
+
+
+def vertex_ids(contacts: DataFrame) -> DataFrame:
+    """Dense deterministic vertex ids: ``(vertex_id: long, role: string)``.
+
+    Dense (0..V-1) so CSR kernels can index arrays directly; deterministic
+    (ordered by role) so runs are reproducible. One global sort over the
+    *distinct actor set* (V rows, not E) — cheap relative to the edges.
+    """
+    actors = contacts.select(F.col("src").alias("role")).unionByName(
+        contacts.select(F.col("dst").alias("role"))
+    ).distinct()
+    w = Window.orderBy("role")
+    return actors.select(
+        (F.row_number().over(w) - 1).cast("long").alias("vertex_id"), "role"
+    )
+
+
+def encode_edges(contacts: DataFrame, vertices: DataFrame) -> DataFrame:
+    """contacts + vertex map → ``edges(src: long, dst: long)`` (canonical,
+    src < dst, one row per contact pair). Vertex map is broadcast when small;
+    at cluster scale Catalyst/AQE picks SMJ vs broadcast from stats.
+    """
+    vsrc = vertices.select(F.col("role").alias("src"), F.col("vertex_id").alias("src_id"))
+    vdst = vertices.select(F.col("role").alias("dst"), F.col("vertex_id").alias("dst_id"))
+    return (
+        contacts.join(vsrc, "src")
+        .join(vdst, "dst")
+        .select(F.col("src_id").alias("src"), F.col("dst_id").alias("dst"))
+    )
+
+
+def undirect(edges: DataFrame) -> DataFrame:
+    """Canonical (src<dst) edges → both directions, for gather-scatter."""
+    return edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )

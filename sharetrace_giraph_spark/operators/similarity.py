@@ -1,0 +1,164 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+- :func:`brute_force_topk` — exact cosine top-k: query set × corpus via a
+  broadcast hash join on a constant key (queries are small by contract),
+  dot products as JVM-side higher-order functions (``zip_with`` +
+  ``aggregate``), top-k via window. The baseline and the verifier.
+- :func:`ivf_topk` — the scale path: corpus vectors are assigned once to
+  their nearest centroid (IVF coarse quantizer); a query probes only the
+  ``n_probe`` nearest centroid buckets, turning the scan from O(N) to
+  O(N * n_probe / n_centroids). Centroids here are taken deterministically
+  (first C vector ids) rather than k-means-trained — the partition/join
+  shape is the point; plugging trained centroids in changes no plan.
+- :func:`embedding_near_duplicates` — near-dup by cosine ≥ threshold over
+  IVF buckets (same-bucket candidates only, documented recall tradeoff).
+
+All distances computed in float64 (north-star float-reproducibility rule).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+
+def _dot(a, b) -> F.Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a) -> F.Column:
+    return F.sqrt(_dot(a, a))
+
+
+def cosine(a, b) -> F.Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k of each query against the corpus (excluding
+    self-matches by id). Returns (query_id, neighbor_id, cos_sim, rank)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+    )
+    joined = F.broadcast(q).crossJoin(c).where(F.col("query_id") != F.col("neighbor_id"))
+    scored = joined.select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("qvec"), F.col("cvec")).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), "rank")
+    )
+
+
+def assign_ivf_buckets(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Coarse quantization: centroids = the first ``n_centroids`` vectors
+    by id (deterministic); every corpus vector is assigned to its nearest
+    centroid by cosine. Returns (centroids, bucketed corpus). The
+    assignment is ONE broadcast join + argmax — no iteration."""
+    centroids = corpus.orderBy(id_col).limit(n_centroids).select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cent_vec")
+    )
+    scored = corpus.crossJoin(F.broadcast(centroids)).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("centroid_id"),
+        cosine(F.col(vec_col), F.col("cent_vec")).alias("sim"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("sim"), F.asc("centroid_id"))
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(id_col, vec_col, F.col("centroid_id").alias("bucket"))
+    )
+    return centroids, assigned
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: probe the ``n_probe`` nearest buckets per query.
+    Join shape: (query × centroids: broadcast, tiny) → (query, bucket)
+    probe list → equi join with the bucketed corpus on bucket → local
+    scoring + window top-k. The expensive scan is blocked by bucket."""
+    centroids, assigned = assign_ivf_buckets(corpus, n_centroids, id_col, vec_col)
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+
+    qc = q.crossJoin(F.broadcast(centroids)).select(
+        "query_id", "qvec", "centroid_id",
+        cosine(F.col("qvec"), F.col("cent_vec")).alias("csim"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("csim"), F.asc("centroid_id"))
+    probes = (
+        qc.withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= n_probe)
+        .select("query_id", "qvec", F.col("centroid_id").alias("bucket"))
+    )
+
+    cand = probes.join(assigned, "bucket").where(
+        F.col("query_id") != F.col(id_col)
+    )
+    scored = cand.select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        cosine(F.col("qvec"), F.col(vec_col)).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), "rank")
+    )
+
+
+def embedding_near_duplicates(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-dup pairs by cosine >= threshold among same-IVF-bucket
+    candidates (one blocked self-join; cross-bucket near-dups are missed by
+    design — the standard recall/cost tradeoff, mitigated by n_probe > 1
+    variants)."""
+    _, assigned = assign_ivf_buckets(corpus, n_centroids, id_col, vec_col)
+    l = assigned.select(
+        F.col("bucket"), F.col(id_col).alias("a"), F.col(vec_col).alias("va")
+    )
+    r = assigned.select(
+        F.col("bucket"), F.col(id_col).alias("b"), F.col(vec_col).alias("vb")
+    )
+    pairs = l.join(r, "bucket").where(F.col("a") < F.col("b"))
+    return pairs.select(
+        "a", "b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim")
+    ).where(F.col("cos_sim") >= threshold)

@@ -1,0 +1,100 @@
+"""Text-analysis operators for training-data pipelines over ``documents``.
+
+All hot paths are JVM-side column expressions (split/regexp/aggregate) —
+no Python UDFs — so they scale to 100 TB document tables with predicate
+pushdown and whole-stage codegen intact. Primitives are deterministic and
+shared with DuckDB (md5, length arithmetic) so every operator here has an
+exact SQL oracle.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+#: tiny per-language stopword lexicons for the n-gram/stopword language-ID
+#: heuristic (public knowledge; deliberately small and deterministic)
+LANG_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a"],
+    "de": ["der", "und", "die", "das", "ein"],
+    "fr": ["le", "la", "et", "les", "des"],
+}
+
+
+def tokens(col) -> F.Column:
+    """Whitespace tokenization, empty-safe."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(c, r"\s+"), lambda t: t != "")
+
+
+def token_count(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    return df.select(id_col, F.size(tokens(text_col)).alias("n_tokens"))
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Deterministic quality heuristics: token count, mean token length,
+    stopword ratio, and a composite score in [0,1]. (The classic
+    Gopher/C4-style length+stopword filters, minus the proprietary
+    thresholds.)"""
+    t = tokens(text_col)
+    n = F.size(t)
+    mean_len = F.when(
+        n > 0,
+        F.aggregate(t, F.lit(0).cast("double"), lambda acc, x: acc + F.length(x)) / n,
+    ).otherwise(F.lit(0.0))
+    stop = F.array(*[F.lit(s) for s in LANG_STOPWORDS["en"]])
+    n_stop = F.size(F.filter(t, lambda x: F.array_contains(stop, F.lower(x))))
+    stop_ratio = F.when(n > 0, n_stop / n).otherwise(F.lit(0.0))
+    score = F.round(
+        F.least(n / F.lit(64.0), F.lit(1.0)) * 0.5
+        + F.least(stop_ratio * F.lit(5.0), F.lit(1.0)) * 0.3
+        + F.least(mean_len / F.lit(8.0), F.lit(1.0)) * 0.2,
+        6,
+    )
+    return df.select(
+        id_col,
+        n.alias("n_tokens"),
+        F.round(mean_len, 6).alias("mean_token_len"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        score.alias("quality"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-vote language ID: the language whose lexicon matches the
+    most tokens wins (ties → lexicographic language order, deterministic);
+    'und' when nothing matches."""
+    t = tokens(text_col)
+    votes = []
+    for lang in sorted(LANG_STOPWORDS):
+        lex = F.array(*[F.lit(s) for s in LANG_STOPWORDS[lang]])
+        votes.append(
+            F.struct(
+                F.size(F.filter(t, lambda x: F.array_contains(lex, F.lower(x)))).alias("n"),
+                F.lit(lang).alias("lang"),
+            )
+        )
+    # max over (n, lang-reversed) — we want max n, tie-break min lang:
+    # compare on (n, negated lang) is not expressible; instead sort langs
+    # descending so that on equal n the FIRST (max struct) is the smallest
+    # lang name... struct max picks lexicographically larger lang on ties,
+    # so iterate sorted() and rely on strictly-larger n to win; ties go to
+    # the lexicographically largest language — documented, deterministic.
+    best = F.greatest(*votes) if len(votes) > 1 else votes[0]
+    return df.select(
+        id_col,
+        F.when(best["n"] > 0, best["lang"]).otherwise(F.lit("und")).alias("lang_pred"),
+        best["n"].alias("stopword_hits"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Content fingerprint: md5 over the sorted distinct token set —
+    whitespace/world-order-insensitive document identity. md5 is shared
+    with DuckDB, so the oracle reproduces it bit-for-bit."""
+    return df.select(
+        id_col,
+        F.md5(F.array_join(F.array_sort(F.array_distinct(tokens(text_col))), " ")).alias(
+            "fp"
+        ),
+    )

@@ -1,0 +1,221 @@
+"""Checkpointed BSP superstep driver — the engine's iteration core.
+
+Reference analogs (citations into /root/reference):
+
+- I1/I2 master loop + convergence halt (``compute/MasterComputer.java:24-56``):
+  Giraph's master flips computation classes per superstep and halts when the
+  aggregated L1 delta < 1e-5 or superstep count hits the max. Here: a plain
+  driver ``for`` loop over DataFrame transforms; the step function owns the
+  algorithm, the driver owns halt/checkpoint/metrics.
+- A4 global delta aggregator (``aggregate/DeltaAggregator.java:16-32``):
+  the +infinity init sentinel (never halt before the first real superstep)
+  becomes "superstep 0 always runs"; after that, halt when sum(|delta|) <
+  tol. Divergence from the sentinel documented here.
+- I5 checkpoint retention (``java/giraph-site.xml:10-15`` keeps superstep
+  checkpoints): every superstep writes the full state to
+  ``{dir}/{run_id}/{algorithm}/state/superstep=K`` (parquet + _SUCCESS) and
+  appends a lineage/metrics row. Resume = read the max committed superstep
+  and continue — the BSP descendant of the reference's HatContext resume
+  cursor (``pda/AbstractHatContext.java:14-29``).
+
+The per-superstep write doubles as **lineage truncation**: iterative
+DataFrame plans grow exponentially without it; re-reading the parquet we
+just wrote resets the plan to a scan. This is mandatory at 10^12-turn scale
+(a 20-superstep lineage over a shuffle DAG would never schedule) and is
+what makes kill-and-resume possible at all.
+
+State contract: the state DataFrame must carry a ``delta: double`` column
+(per-vertex |change| this superstep — FIXTURES.md §4); everything else is
+algorithm-private.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import time
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+#: reference convergence threshold (``MasterComputer.java:24``)
+DEFAULT_TOLERANCE = 1e-5
+#: reference superstep cap (``giraph-site.xml:43-46``, ``BPContext.java:13``)
+DEFAULT_MAX_SUPERSTEPS = 5
+
+_STEP_RE = re.compile(r"superstep=(\d+)$")
+
+
+@dataclass
+class SuperstepResult:
+    state: DataFrame
+    supersteps_run: int
+    final_superstep: int
+    l1_delta: float
+    converged: bool
+    resumed_from: int | None
+    wall_s: float
+    metrics: list[dict] = field(default_factory=list)
+
+
+def _state_dir(root: str, run_id: str, algorithm: str) -> str:
+    return os.path.join(root, run_id, algorithm, "state")
+
+
+def _metrics_dir(root: str, run_id: str, algorithm: str) -> str:
+    return os.path.join(root, run_id, algorithm, "metrics")
+
+
+def latest_committed(root: str, run_id: str, algorithm: str) -> int | None:
+    """Max superstep K whose state checkpoint fully committed (_SUCCESS)."""
+    sdir = _state_dir(root, run_id, algorithm)
+    if not os.path.isdir(sdir):
+        return None
+    best = None
+    for name in os.listdir(sdir):
+        m = _STEP_RE.search(name)
+        if m and os.path.exists(os.path.join(sdir, name, "_SUCCESS")):
+            k = int(m.group(1))
+            best = k if best is None else max(best, k)
+    return best
+
+
+class SuperstepDriver:
+    """Runs ``step(state, superstep) -> new_state`` to convergence with
+    per-superstep checkpoint, resume, and lineage metrics.
+
+    One Spark action per superstep (the checkpoint write); the delta/active
+    aggregation runs against the just-written parquet, so it costs a cheap
+    columnar scan, not a recompute of the superstep.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        checkpoint_dir: str,
+        run_id: str,
+        algorithm: str,
+        num_partitions: int | None = None,
+    ) -> None:
+        self.spark = spark
+        self.checkpoint_dir = checkpoint_dir
+        self.run_id = run_id
+        self.algorithm = algorithm
+        self.num_partitions = num_partitions or int(
+            spark.conf.get("spark.sql.shuffle.partitions")
+        )
+
+    # -- checkpoint I/O ------------------------------------------------------
+
+    def _write_state(self, state: DataFrame, superstep: int) -> DataFrame:
+        path = os.path.join(
+            _state_dir(self.checkpoint_dir, self.run_id, self.algorithm),
+            f"superstep={superstep}",
+        )
+        state.write.mode("overwrite").parquet(path)
+        return self.spark.read.parquet(path)
+
+    def read_state(self, superstep: int) -> DataFrame:
+        path = os.path.join(
+            _state_dir(self.checkpoint_dir, self.run_id, self.algorithm),
+            f"superstep={superstep}",
+        )
+        return self.spark.read.parquet(path)
+
+    def _append_metrics(self, row: dict) -> None:
+        df = self.spark.createDataFrame(
+            [
+                (
+                    self.run_id,
+                    self.algorithm,
+                    int(row["superstep"]),
+                    int(row["active_vertices"]),
+                    int(row["messages"]),
+                    float(row["l1_delta"]),
+                    int(row["wall_ms"]),
+                    int(row["num_partitions"]),
+                )
+            ],
+            schema=(
+                "run_id string, algorithm string, superstep int, active_vertices long,"
+                " messages long, l1_delta double, wall_ms long, num_partitions int"
+            ),
+        )
+        df.coalesce(1).write.mode("append").parquet(
+            _metrics_dir(self.checkpoint_dir, self.run_id, self.algorithm)
+        )
+
+    def metrics(self) -> DataFrame:
+        return self.spark.read.parquet(
+            _metrics_dir(self.checkpoint_dir, self.run_id, self.algorithm)
+        )
+
+    # -- the loop --------------------------------------------------------------
+
+    def run(
+        self,
+        init_state: DataFrame,
+        step: Callable[[DataFrame, int], DataFrame],
+        max_supersteps: int = DEFAULT_MAX_SUPERSTEPS,
+        tolerance: float = DEFAULT_TOLERANCE,
+        resume: bool = True,
+        min_supersteps: int = 1,
+    ) -> SuperstepResult:
+        t0 = time.monotonic()
+        resumed_from = latest_committed(self.checkpoint_dir, self.run_id, self.algorithm) if resume else None
+
+        if resumed_from is not None:
+            state = self.read_state(resumed_from)
+            start_step = resumed_from + 1
+        else:
+            # superstep -1 checkpoint = the initial state, so a job killed in
+            # superstep 0 still resumes deterministically
+            state = self._write_state(init_state, -1) if resume else init_state
+            start_step = 0
+
+        l1 = float("inf")  # the DeltaAggregator +inf sentinel, reborn
+        steps_run = 0
+        k = start_step - 1
+        all_metrics: list[dict] = []
+        converged = False
+
+        for k in range(start_step, max_supersteps):
+            ts = time.monotonic()
+            new_state = step(state, k)
+            if self.num_partitions:
+                new_state = new_state.repartition(self.num_partitions, "vertex_id")
+            state = self._write_state(new_state, k)
+            agg = state.agg(
+                F.sum(F.abs(F.col("delta"))).alias("l1"),
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.when(F.abs("delta") > tolerance, 1).otherwise(0)).alias("active"),
+            ).first()
+            l1 = float(agg["l1"] or 0.0)
+            wall_ms = int((time.monotonic() - ts) * 1000)
+            row = {
+                "superstep": k,
+                "active_vertices": int(agg["active"] or 0),
+                "messages": int(agg["n"] or 0),
+                "l1_delta": l1,
+                "wall_ms": wall_ms,
+                "num_partitions": self.num_partitions,
+            }
+            self._append_metrics(row)
+            all_metrics.append(row)
+            steps_run += 1
+            if steps_run >= min_supersteps and l1 < tolerance:
+                converged = True
+                break
+
+        return SuperstepResult(
+            state=state,
+            supersteps_run=steps_run,
+            final_superstep=k,
+            l1_delta=l1,
+            converged=converged,
+            resumed_from=resumed_from,
+            wall_s=time.monotonic() - t0,
+            metrics=all_metrics,
+        )

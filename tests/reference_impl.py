@@ -1,0 +1,201 @@
+"""Trusted pure-Python/numpy reference implementations (the test oracle).
+
+These mirror the documented operator semantics (SURVEY.md §2) in plain
+dict/numpy code over small collected inputs. The Spark engine is correct
+iff it matches these on the fixtures — PageRank allclose 1e-6,
+component/label ids exact, risk scores exact (deterministic semantics).
+"""
+
+from __future__ import annotations
+
+from collections import Counter, defaultdict
+
+
+# ---------------------------------------------------------------------------
+# edge derivation (contact matching analog)
+# ---------------------------------------------------------------------------
+
+def derive_contacts_py(rows, duration_threshold_s=900, session_gap_s=1800):
+    """rows: iterable of (conv_id, turn_idx, role, ts_epoch_s).
+    Returns {(src, dst): [(start_s, duration_ms), ...]} with src < dst."""
+    convs = defaultdict(list)
+    for conv_id, turn_idx, role, ts in rows:
+        convs[conv_id].append((ts, turn_idx, role))
+
+    contacts = defaultdict(set)
+    for conv_id, turns in convs.items():
+        turns.sort()
+        # sessionize: gap > session_gap_s starts a new session
+        session = 0
+        prev_ts = None
+        spans = defaultdict(lambda: [None, None])  # (session, role) -> [min, max]
+        for ts, _, role in turns:
+            if prev_ts is not None and ts - prev_ts > session_gap_s:
+                session += 1
+            prev_ts = ts
+            key = (session, role)
+            lo, hi = spans[key]
+            spans[key] = [ts if lo is None else min(lo, ts), ts if hi is None else max(hi, ts)]
+        by_session = defaultdict(list)
+        for (session, role), (lo, hi) in spans.items():
+            by_session[session].append((role, lo, hi))
+        for session, actors in by_session.items():
+            actors.sort()
+            for i in range(len(actors)):
+                for j in range(i + 1, len(actors)):
+                    ra, la, ha = actors[i]
+                    rb, lb, hb = actors[j]
+                    start, end = max(la, lb), min(ha, hb)
+                    if end - start >= duration_threshold_s:
+                        contacts[(ra, rb)].add((start, (end - start) * 1000))
+    return {k: sorted(v) for k, v in contacts.items()}
+
+
+# ---------------------------------------------------------------------------
+# graph algorithms over an undirected edge list of hashable vertex ids
+# ---------------------------------------------------------------------------
+
+def _adj(edges):
+    adj = defaultdict(set)
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    return adj
+
+
+def pagerank_py(edges, vertices, damping=0.85, tol=1e-9, max_iters=100):
+    """Synchronous damped PageRank on the undirected graph (each undirected
+    edge = two directed edges), dangling mass redistributed uniformly.
+    Matches algorithms/pagerank.py update exactly."""
+    adj = _adj(edges)
+    verts = sorted(vertices)
+    n = len(verts)
+    rank = {v: 1.0 / n for v in verts}
+    for _ in range(max_iters):
+        contrib = defaultdict(float)
+        dangling = 0.0
+        for v in verts:
+            nbrs = adj.get(v, ())
+            if not nbrs:
+                dangling += rank[v]
+                continue
+            share = rank[v] / len(nbrs)
+            for u in nbrs:
+                contrib[u] += share
+        new = {
+            v: (1 - damping) / n + damping * (contrib.get(v, 0.0) + dangling / n)
+            for v in verts
+        }
+        l1 = sum(abs(new[v] - rank[v]) for v in verts)
+        rank = new
+        if l1 < tol:
+            break
+    return rank
+
+
+def cc_py(edges, vertices):
+    """Min-label propagation fixed point = min vertex id per component."""
+    adj = _adj(edges)
+    comp = {v: v for v in vertices}
+    changed = True
+    while changed:
+        changed = False
+        for v in vertices:
+            m = min([comp[v]] + [comp[u] for u in adj.get(v, ())])
+            if m != comp[v]:
+                comp[v] = m
+                changed = True
+    return comp
+
+
+def lpa_py(edges, vertices, max_iters=5):
+    """Synchronous LPA, mode of neighbor labels, tie-break (count desc,
+    label asc); vertices with no neighbors keep their label. Matches
+    algorithms/label_propagation.py superstep-for-superstep."""
+    adj = _adj(edges)
+    label = {v: v for v in vertices}
+    for _ in range(max_iters):
+        new = {}
+        any_change = False
+        for v in vertices:
+            nbrs = adj.get(v, ())
+            if not nbrs:
+                new[v] = label[v]
+                continue
+            counts = Counter(label[u] for u in nbrs)
+            best = max(counts.items(), key=lambda kv: (kv[1], -_as_sortable(kv[0])))
+            new[v] = best[0]
+            any_change |= new[v] != label[v]
+        label = new
+        if not any_change:
+            break
+    return label
+
+
+def _as_sortable(x):
+    return x if isinstance(x, (int, float)) else int.from_bytes(str(x).encode(), "big")
+
+
+def triangles_py(edges):
+    """Exact triangle enumeration. Returns (total, {vertex: count})."""
+    adj = _adj(edges)
+    canon = {(min(u, v), max(u, v)) for u, v in edges}
+    per = Counter()
+    total = 0
+    for a, b in sorted(canon):
+        common = adj[a] & adj[b]
+        for c in common:
+            if c > b:  # count each triangle once: a < b < c
+                total += 1
+                per[a] += 1
+                per[b] += 1
+                per[c] += 1
+    return total, dict(per)
+
+
+# ---------------------------------------------------------------------------
+# risk propagation (the reference BP semantics, deterministic variant)
+# ---------------------------------------------------------------------------
+
+def risk_prop_py(
+    contacts,
+    scores,
+    transmission_rate=1.0,
+    tolerance=1e-5,
+    max_iters=5,
+):
+    """contacts: {(src,dst): [(start_s, duration_ms), ...]};
+    scores: {actor: [(update_s, value), ...]}.
+    Score element = (update_time_s, value, origin_id); natural order is the
+    tuple order (RiskScore order, AbstractRiskScore.java:57-67).
+    Returns final state {actor: set of score tuples} and the output top-1
+    per actor under the OUTPUT comparator (value, update_time, id)."""
+    edges = []  # (u, v, cutoff_s)
+    for (s, d), occs in contacts.items():
+        cutoff = max(start for start, _ in occs)
+        edges.append((s, d, cutoff))
+        edges.append((d, s, cutoff))
+
+    state = {
+        a: {(ut, val, a) for ut, val in hist} for a, hist in scores.items()
+    }
+    for _ in range(max_iters):
+        incoming = defaultdict(set)
+        for u, v, cutoff in edges:
+            cand = [s for s in state.get(u, ()) if s[2] != v and s[0] < cutoff]
+            if cand:
+                ut, val, origin = max(cand)
+                incoming[v].add((ut, val * transmission_rate, origin))
+        l1 = 0.0
+        for v, inc in incoming.items():
+            old_max = max(state[v]) if state.get(v) else None
+            l1 += abs(max(inc)[1] - (old_max[1] if old_max else 0.0))
+            state.setdefault(v, set()).update(inc)
+        if l1 < tolerance:
+            break
+
+    out = {}
+    for a, ss in state.items():
+        best = max(ss, key=lambda s: (s[1], s[0], s[2]))
+        out[a] = (best[1], best[0])  # (value, update_time_s)
+    return state, out

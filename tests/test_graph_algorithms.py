@@ -1,0 +1,148 @@
+"""Graph algorithms vs the pure-Python oracle on the tiny reference
+fixture and a generated community graph.
+
+Strategy: the Spark kernels and the oracle implement the identical
+synchronous update, so we compare **step-for-step** at a fixed superstep
+count (float64 divergence ~1e-15/step → far inside the north rule's 1e-6),
+plus one run to true convergence to verify the L1-delta halt logic.
+Component/label ids are compared exactly."""
+
+from __future__ import annotations
+
+import pytest
+
+from sharetrace_giraph_spark import datagen
+from sharetrace_giraph_spark.algorithms import (
+    connected_components,
+    label_propagation,
+    pagerank,
+    triangles,
+)
+from sharetrace_giraph_spark.operators import edges as E
+
+from .reference_impl import cc_py, lpa_py, pagerank_py, triangles_py
+
+
+@pytest.fixture(scope="module")
+def tiny_graph(spark):
+    t = datagen.tiny_fixture_transcripts(spark)
+    contacts = E.derive_contacts(t)
+    verts = E.vertex_ids(contacts)
+    enc = E.encode_edges(contacts, verts).persist()
+    vmap = {r.vertex_id: r.role for r in verts.collect()}
+    edge_list = [(r.src, r.dst) for r in enc.collect()]
+    return contacts, verts, enc, vmap, edge_list
+
+
+@pytest.fixture(scope="module")
+def medium_graph(spark):
+    t = datagen.generate_transcripts(
+        spark, n_convs=300, turns_per_conv=12, n_actors=60,
+        n_communities=6, n_hubs=2, seed=13,
+    )
+    contacts = E.derive_contacts(t)
+    verts = E.vertex_ids(contacts)
+    enc = E.encode_edges(contacts, verts).persist()
+    edge_list = [(r.src, r.dst) for r in enc.collect()]
+    return contacts, verts, enc, edge_list
+
+
+def _vertices_of(edge_list):
+    vs = set()
+    for u, v in edge_list:
+        vs.add(u)
+        vs.add(v)
+    return sorted(vs)
+
+
+def test_pagerank_converges_and_matches_fixed_point(spark, tiny_graph, ckpt):
+    """Run to convergence (halt logic) and compare to the oracle fixed
+    point: l1 < 1e-8 puts both within ~7e-8 of the fixed point (geometric
+    rate 0.85) → allclose 1e-6 holds."""
+    _, verts, enc, vmap, edge_list = tiny_graph
+    res = pagerank(
+        spark, E.undirect(enc), verts, ckpt, run_id="t1",
+        tolerance=1e-8, max_supersteps=150,
+    )
+    got = {r.vertex_id: r.rank for r in res.state.collect()}
+    exp = pagerank_py(edge_list, _vertices_of(edge_list), tol=1e-10, max_iters=300)
+    assert res.converged
+    for v in exp:
+        assert abs(got[v] - exp[v]) < 1e-6
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+@pytest.mark.parametrize("kernel", ["relational", "csr"])
+def test_pagerank_step_for_step(spark, medium_graph, ckpt, kernel):
+    _, verts, enc, edge_list = medium_graph
+    exp = pagerank_py(edge_list, _vertices_of(edge_list), tol=0.0, max_iters=15)
+    res = pagerank(
+        spark, E.undirect(enc), verts, ckpt, run_id=f"m-{kernel}",
+        tolerance=0.0, max_supersteps=15, kernel=kernel,
+    )
+    got = {r.vertex_id: r.rank for r in res.state.collect()}
+    errs = [abs(got[v] - exp[v]) for v in exp]
+    assert max(errs) < 1e-9, (kernel, max(errs))
+
+
+def test_pagerank_salted_matches_unsalted(spark, medium_graph, ckpt):
+    _, verts, enc, edge_list = medium_graph
+    exp = pagerank_py(edge_list, _vertices_of(edge_list), tol=0.0, max_iters=10)
+    res = pagerank(
+        spark, E.undirect(enc), verts, ckpt, run_id="m-salt",
+        tolerance=0.0, max_supersteps=10, salt_threshold=5, salts=4,
+    )
+    got = {r.vertex_id: r.rank for r in res.state.collect()}
+    assert max(abs(got[v] - exp[v]) for v in exp) < 1e-9
+
+
+def test_connected_components_exact(spark, tiny_graph, medium_graph, ckpt):
+    for name, (verts, enc, edge_list) in {
+        "tiny": (tiny_graph[1], tiny_graph[2], tiny_graph[4]),
+        "medium": (medium_graph[1], medium_graph[2], medium_graph[3]),
+    }.items():
+        res = connected_components(
+            spark, E.undirect(enc), verts, ckpt, run_id=f"cc-{name}", max_supersteps=100
+        )
+        got = {r.vertex_id: r.comp for r in res.state.collect()}
+        exp = cc_py(edge_list, _vertices_of(edge_list))
+        assert res.converged, name
+        assert got == exp, name
+
+
+def test_tiny_is_one_component(spark, tiny_graph, ckpt):
+    """FIXTURES.md §2 sanity: CC → one component {1,2,3,4}."""
+    _, verts, enc, vmap, _ = tiny_graph
+    res = connected_components(spark, E.undirect(enc), verts, ckpt, run_id="cc-one")
+    comps = {r.comp for r in res.state.collect()}
+    assert len(comps) == 1
+
+
+def test_label_propagation_exact(spark, medium_graph, ckpt):
+    _, verts, enc, edge_list = medium_graph
+    res = label_propagation(
+        spark, E.undirect(enc), verts, ckpt, run_id="lpa-m", max_supersteps=5
+    )
+    got = {r.vertex_id: r.label for r in res.state.collect()}
+    exp = lpa_py(edge_list, _vertices_of(edge_list), max_iters=5)
+    assert got == exp
+
+
+def test_triangles_tiny(spark, tiny_graph):
+    """FIXTURES.md §2: exactly 1 triangle (1,2,4); per-vertex [1,1,0,1]."""
+    _, verts, enc, vmap, edge_list = tiny_graph
+    total, per_vertex = triangles(spark, enc, verts)
+    assert total == 1
+    got = {vmap[r.vertex_id]: r.n_triangles for r in per_vertex.collect()}
+    assert got == {"1": 1, "2": 1, "3": 0, "4": 1}
+
+
+def test_triangles_medium(spark, medium_graph):
+    _, verts, enc, edge_list = medium_graph
+    total, per_vertex = triangles(spark, enc, verts)
+    exp_total, exp_per = triangles_py(edge_list)
+    assert total == exp_total
+    got = {r.vertex_id: r.n_triangles for r in per_vertex.collect()}
+    for v in _vertices_of(edge_list):
+        assert got[v] == exp_per.get(v, 0)
+    assert exp_total > 5  # non-trivial
