@@ -358,6 +358,128 @@ def q_epoch_millis(spark, sf_dir):
     ).orderBy("event_id").limit(500)
 
 
+# -- training-data pipeline ops: dedup / text analysis / similarity ----------
+
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup: md5 hash-groupBy (one shuffle on the digest). The
+    corpus has no byte-identical dups, so groups are emitted with their
+    counts (n_dups == 1 everywhere is itself the assertion)."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.md5("text").alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.count(F.lit(1)).alias("n_dups"), F.min("doc_id").alias("keep_id"))
+        .orderBy("text_hash")
+    )
+
+
+def q_text_fingerprint(spark, sf_dir):
+    """Order/whitespace-insensitive content fingerprint (md5 of the sorted
+    distinct token set)."""
+    from sharetrace_giraph_spark.operators.text import fingerprint
+
+    return fingerprint(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def q_text_token_count(spark, sf_dir):
+    from sharetrace_giraph_spark.operators.text import token_count
+
+    return token_count(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def q_text_quality(spark, sf_dir):
+    from sharetrace_giraph_spark.operators.text import quality_score
+
+    return quality_score(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def q_text_lang_id(spark, sf_dir):
+    from sharetrace_giraph_spark.operators.text import lang_id
+
+    return lang_id(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    """Exact Jaccard over word 3-gram sets for consecutive-id doc pairs —
+    the deterministic verify stage of near-dup detection."""
+    from sharetrace_giraph_spark.operators.dedup import ngram_jaccard
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = d.select(F.col("doc_id").alias("a"), (F.col("doc_id") + 1).alias("b"))
+    return (
+        ngram_jaccard(pairs, d)
+        .orderBy("a")
+    )
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup candidates (8 hashes, 4 bands) verified by
+    exact Jaccard — rows-only here (pytest verifies candidates ⊇ truly
+    similar pairs against brute force)."""
+    from sharetrace_giraph_spark.operators.dedup import minhash_near_duplicates
+
+    d = _t(spark, sf_dir, "documents")
+    return minhash_near_duplicates(d, threshold=0.2).orderBy("a", "b")
+
+
+def q_dedup_simhash(spark, sf_dir):
+    """SimHash near-dup (vectorized pandas-UDF hash; Hamming <= 3 within
+    16-bit prefix buckets) — rows-only (hash impl is engine-side)."""
+    from sharetrace_giraph_spark.operators.dedup import simhash_near_duplicates
+
+    d = _t(spark, sf_dir, "documents")
+    return simhash_near_duplicates(d).orderBy("a", "b")
+
+
+def q_sim_topk_bruteforce(spark, sf_dir):
+    """Exact cosine top-5 neighbors for query vectors vec_id < 8."""
+    from sharetrace_giraph_spark.operators.similarity import brute_force_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    return brute_force_topk(e, e.where(F.col("vec_id") < 8), k=5).orderBy(
+        "query_id", "rank"
+    )
+
+
+def q_sim_topk_ivf(spark, sf_dir):
+    """IVF-bucketed approximate top-5 (16 deterministic centroids, probe
+    4) for query vectors vec_id < 8 — the blocked scale path."""
+    from sharetrace_giraph_spark.operators.similarity import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        e, e.where(F.col("vec_id") < 8), k=5, n_centroids=16, n_probe=4
+    ).orderBy("query_id", "rank")
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding near-dup pairs (cosine >= 0.9) within IVF buckets —
+    rows-only (bucketed recall checked in pytest vs brute force)."""
+    from sharetrace_giraph_spark.operators.similarity import embedding_near_duplicates
+
+    e = _t(spark, sf_dir, "embeddings")
+    return embedding_near_duplicates(e, threshold=0.9).orderBy("a", "b")
+
+
+def q_multimodal_meta(spark, sf_dir):
+    """Multimodal plumbing: documents → binary payload media rows →
+    Arrow-batched mapInPandas metadata/feature extraction (stubbed decode);
+    oracle covers the SQL-expressible metadata columns."""
+    from sharetrace_giraph_spark.operators.multimodal import extract_features, synthesize_media
+
+    d = _t(spark, sf_dir, "documents")
+    feats = extract_features(synthesize_media(d), fake=True)
+    return feats.select("doc_id", "kind", "n_bytes", "payload_md5").orderBy("doc_id")
+
+
+def q_multimodal_stats(spark, sf_dir):
+    """Per-kind media stats (pure relational over the media table)."""
+    from sharetrace_giraph_spark.operators.multimodal import media_stats, synthesize_media
+
+    return media_stats(synthesize_media(_t(spark, sf_dir, "documents")))
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -386,6 +508,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sorted_sequence": q_sorted_sequence,
         "union_dedup": q_union_dedup,
         "epoch_millis": q_epoch_millis,
+        # training-data pipeline ops
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "text_fingerprint": q_text_fingerprint,
+        "text_token_count": q_text_token_count,
+        "text_quality": q_text_quality,
+        "text_lang_id": q_text_lang_id,
+        "sim_topk_bruteforce": q_sim_topk_bruteforce,
+        "sim_topk_ivf": q_sim_topk_ivf,
+        "embedding_near_dup": q_embedding_near_dup,
+        "multimodal_meta": q_multimodal_meta,
+        "multimodal_stats": q_multimodal_stats,
     }
 
 
@@ -504,5 +640,151 @@ def oracle_sql() -> dict[str, str]:
         "epoch_millis": """
             SELECT event_id, CAST(epoch_ms(ts) AS BIGINT) AS ts_ms
             FROM events ORDER BY event_id LIMIT 500
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS text_hash,
+                   CAST(count(*) AS BIGINT) AS n_dups,
+                   min(doc_id) AS keep_id
+            FROM documents GROUP BY md5(text) ORDER BY text_hash
+        """,
+        "text_fingerprint": """
+            SELECT doc_id,
+                   md5(array_to_string(list_sort(list_distinct(
+                       string_split_regex(text, '\\s+'))), ' ')) AS fp
+            FROM documents ORDER BY doc_id
+        """,
+        "text_token_count": """
+            SELECT doc_id,
+                   CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                                        x -> x <> '')) AS INT) AS n_tokens
+            FROM documents ORDER BY doc_id
+        """,
+        "text_quality": """
+            WITH t AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+                FROM documents
+            ), m AS (
+                SELECT doc_id,
+                       len(toks) AS n,
+                       CASE WHEN len(toks) > 0 THEN
+                           CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks)
+                       ELSE 0.0 END AS mean_len,
+                       CASE WHEN len(toks) > 0 THEN
+                           CAST(len(list_filter(toks, x -> lower(x) IN
+                               ('the','and','of','to','a'))) AS DOUBLE) / len(toks)
+                       ELSE 0.0 END AS stop_ratio
+                FROM t
+            )
+            SELECT doc_id,
+                   CAST(n AS INT) AS n_tokens,
+                   round(mean_len, 6) AS mean_token_len,
+                   round(stop_ratio, 6) AS stopword_ratio,
+                   round(least(n / 64.0, 1.0) * 0.5
+                         + least(stop_ratio * 5.0, 1.0) * 0.3
+                         + least(mean_len / 8.0, 1.0) * 0.2, 6) AS quality
+            FROM m ORDER BY doc_id
+        """,
+        "text_lang_id": """
+            WITH t AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+                FROM documents
+            ), v AS (
+                SELECT doc_id,
+                       len(list_filter(toks, x -> lower(x) IN ('der','und','die','das','ein'))) AS n_de,
+                       len(list_filter(toks, x -> lower(x) IN ('the','and','of','to','a'))) AS n_en,
+                       len(list_filter(toks, x -> lower(x) IN ('le','la','et','les','des'))) AS n_fr
+                FROM t
+            )
+            -- struct-greatest semantics: argmax by (hits, lang), ties go to
+            -- the lexicographically LARGER language name (fr > en > de)
+            SELECT doc_id,
+                   CASE WHEN greatest(n_de, n_en, n_fr) = 0 THEN 'und'
+                        WHEN n_fr >= n_en AND n_fr >= n_de THEN 'fr'
+                        WHEN n_en >= n_de THEN 'en'
+                        ELSE 'de' END AS lang_pred,
+                   CAST(greatest(n_de, n_en, n_fr) AS INT) AS stopword_hits
+            FROM v ORDER BY doc_id
+        """,
+        "dedup_ngram_jaccard": """
+            WITH g AS (
+                SELECT doc_id,
+                       CASE WHEN len(toks) >= 3 THEN
+                           list_distinct(list_transform(
+                               generate_series(1, len(toks) - 2),
+                               i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
+                       ELSE [] END AS grams
+                FROM (SELECT doc_id,
+                             list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+                      FROM documents)
+            )
+            SELECT a.doc_id AS a, b.doc_id AS b,
+                   round(CASE WHEN len(list_distinct(list_concat(a.grams, b.grams))) > 0
+                         THEN CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                              / len(list_distinct(list_concat(a.grams, b.grams)))
+                         ELSE 0.0 END, 6) AS jaccard
+            FROM g a JOIN g b ON b.doc_id = a.doc_id + 1
+            ORDER BY a
+        """,
+        "sim_topk_bruteforce": """
+            WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings)
+            SELECT query_id, neighbor_id, round(cos_sim, 6) AS cos_sim, rank FROM (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       list_cosine_similarity(q.embedding, c.embedding) AS cos_sim,
+                       row_number() OVER (PARTITION BY q.vec_id
+                           ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+                                    c.vec_id ASC) AS rank
+                FROM emb q JOIN emb c ON q.vec_id <> c.vec_id
+                WHERE q.vec_id < 8
+            ) WHERE rank <= 5 ORDER BY query_id, rank
+        """,
+        "sim_topk_ivf": """
+            WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings),
+            cent AS (
+                SELECT vec_id AS centroid_id, embedding AS cvec
+                FROM emb ORDER BY vec_id LIMIT 16
+            ), assigned AS (
+                SELECT vec_id, embedding, centroid_id AS bucket FROM (
+                    SELECT e.vec_id, e.embedding, c.centroid_id,
+                           row_number() OVER (PARTITION BY e.vec_id
+                               ORDER BY list_cosine_similarity(e.embedding, c.cvec) DESC,
+                                        c.centroid_id ASC) AS rn
+                    FROM emb e CROSS JOIN cent c
+                ) WHERE rn = 1
+            ), probes AS (
+                SELECT query_id, qvec, centroid_id AS bucket FROM (
+                    SELECT q.vec_id AS query_id, q.embedding AS qvec, c.centroid_id,
+                           row_number() OVER (PARTITION BY q.vec_id
+                               ORDER BY list_cosine_similarity(q.embedding, c.cvec) DESC,
+                                        c.centroid_id ASC) AS rn
+                    FROM emb q CROSS JOIN cent c WHERE q.vec_id < 8
+                ) WHERE rn <= 4
+            )
+            SELECT query_id, neighbor_id, round(cos_sim, 6) AS cos_sim, rank FROM (
+                SELECT p.query_id, a.vec_id AS neighbor_id,
+                       list_cosine_similarity(p.qvec, a.embedding) AS cos_sim,
+                       row_number() OVER (PARTITION BY p.query_id
+                           ORDER BY list_cosine_similarity(p.qvec, a.embedding) DESC,
+                                    a.vec_id ASC) AS rank
+                FROM probes p JOIN assigned a ON p.bucket = a.bucket
+                WHERE p.query_id <> a.vec_id
+            ) WHERE rank <= 5 ORDER BY query_id, rank
+        """,
+        "multimodal_meta": """
+            SELECT doc_id,
+                   CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                        ELSE 'video' END AS kind,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                   md5(text) AS payload_md5
+            FROM documents ORDER BY doc_id
+        """,
+        "multimodal_stats": """
+            SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                        ELSE 'video' END AS kind,
+                   CAST(count(*) AS BIGINT) AS n_items,
+                   CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+                   round(avg(octet_length(encode(text))), 6) AS mean_bytes
+            FROM documents GROUP BY 1 ORDER BY kind
         """,
     }

@@ -1,0 +1,130 @@
+#!/usr/bin/env python
+"""spark-submit entry point: transcripts → contacts → graph algorithm.
+
+Cluster usage (the north-rule ship shape):
+
+    python scripts/make_pyfiles_zip.py
+    spark-submit --master <cluster> \\
+        --py-files dist/sharetrace_giraph_spark.zip \\
+        jobs/run_graph.py \\
+        --transcripts /path/or/iceberg/table --algorithm pagerank \\
+        --checkpoint-dir /warehouse/ckpt --run-id prod-001 \\
+        --output /warehouse/out/pagerank
+
+Local smoke:
+
+    python jobs/run_graph.py --synthetic-convs 2000 --algorithm pagerank \\
+        --checkpoint-dir /tmp/ck --output /tmp/out
+
+Resume: re-run the identical command after a kill — the driver continues
+from the max committed superstep of (checkpoint-dir, run-id, algorithm).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+# under spark-submit --py-files the package is on the path already; when
+# run directly from the repo, add the repo root
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--transcripts", help="parquet path (or Iceberg table) of transcripts")
+    ap.add_argument("--synthetic-convs", type=int, help="generate synthetic transcripts instead")
+    ap.add_argument(
+        "--algorithm",
+        required=True,
+        choices=["pagerank", "cc", "lpa", "triangles", "risk_prop"],
+    )
+    ap.add_argument("--checkpoint-dir", required=True)
+    ap.add_argument("--run-id", default="run-0")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--max-supersteps", type=int, default=20)
+    ap.add_argument("--tolerance", type=float, default=1e-6)
+    ap.add_argument("--kernel", default="relational", choices=["relational", "csr"])
+    ap.add_argument("--salt-threshold", type=int)
+    ap.add_argument("--no-resume", action="store_true")
+    args = ap.parse_args()
+
+    from sharetrace_giraph_spark.session import get_spark
+    from sharetrace_giraph_spark import datagen
+    from sharetrace_giraph_spark.operators import edges as E
+
+    spark = get_spark(app_name=f"stgs-{args.algorithm}")
+
+    if args.synthetic_convs:
+        t = datagen.generate_transcripts(spark, n_convs=args.synthetic_convs)
+    elif args.transcripts:
+        t = spark.read.parquet(args.transcripts)
+    else:
+        raise SystemExit("need --transcripts or --synthetic-convs")
+
+    contacts = E.derive_contacts(t)
+    verts = E.vertex_ids(contacts)
+    enc = E.encode_edges(contacts, verts)
+
+    resume = not args.no_resume
+    if args.algorithm == "pagerank":
+        from sharetrace_giraph_spark.algorithms import pagerank
+
+        res = pagerank(
+            spark, E.undirect(enc), verts, args.checkpoint_dir, run_id=args.run_id,
+            max_supersteps=args.max_supersteps, tolerance=args.tolerance,
+            kernel=args.kernel, salt_threshold=args.salt_threshold, resume=resume,
+        )
+        out = res.state.join(verts, "vertex_id").select("role", "rank")
+    elif args.algorithm == "cc":
+        from sharetrace_giraph_spark.algorithms import connected_components
+
+        res = connected_components(
+            spark, E.undirect(enc), verts, args.checkpoint_dir, run_id=args.run_id,
+            max_supersteps=args.max_supersteps, resume=resume,
+        )
+        out = res.state.join(verts, "vertex_id").select("role", "comp")
+    elif args.algorithm == "lpa":
+        from sharetrace_giraph_spark.algorithms import label_propagation
+
+        res = label_propagation(
+            spark, E.undirect(enc), verts, args.checkpoint_dir, run_id=args.run_id,
+            max_supersteps=args.max_supersteps, resume=resume,
+        )
+        out = res.state.join(verts, "vertex_id").select("role", "label")
+    elif args.algorithm == "triangles":
+        from sharetrace_giraph_spark.algorithms import triangles
+
+        total, per_vertex = triangles(spark, enc, verts)
+        res = None
+        out = per_vertex.join(verts, "vertex_id").select("role", "n_triangles")
+    else:  # risk_prop
+        from sharetrace_giraph_spark.algorithms import final_scores, risk_propagation
+
+        scores = spark.read.parquet(args.transcripts + ".scores") if args.transcripts else datagen.tiny_fixture_scores(spark)
+        res = risk_propagation(
+            spark, contacts, scores, args.checkpoint_dir, run_id=args.run_id,
+            max_supersteps=args.max_supersteps, resume=resume,
+        )
+        out = final_scores(res.state)
+
+    out.write.mode("overwrite").parquet(args.output)
+    summary = {
+        "algorithm": args.algorithm,
+        "rows": out.count(),
+    }
+    if res is not None:
+        summary.update(
+            supersteps=res.supersteps_run,
+            converged=res.converged,
+            l1_delta=res.l1_delta,
+            resumed_from=res.resumed_from,
+            wall_s=round(res.wall_s, 3),
+        )
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()

@@ -45,18 +45,11 @@ def connected_components(
             .groupBy(e.dst.alias("mdst"))
             .agg(F.min("comp").alias("min_nbr"))
         )
-        return (
-            state.join(inc, state.vertex_id == F.col("mdst"), "left")
-            .select(
-                "vertex_id",
-                F.least("comp", F.coalesce("min_nbr", "comp")).alias("new_comp"),
-                F.col("comp").alias("old_comp"),
-            )
-            .select(
-                "vertex_id",
-                F.col("new_comp").alias("comp"),
-                F.when(F.col("new_comp") != F.col("old_comp"), 1.0).otherwise(0.0).alias("delta"),
-            )
+        new_comp = F.least("comp", F.coalesce("min_nbr", "comp"))
+        return state.join(inc, state.vertex_id == F.col("mdst"), "left").select(
+            "vertex_id",
+            new_comp.alias("comp"),
+            F.when(new_comp != F.col("comp"), 1.0).otherwise(0.0).alias("delta"),
         )
 
     driver = SuperstepDriver(spark, checkpoint_dir, run_id, "connected_components", num_partitions)

@@ -49,18 +49,11 @@ def label_propagation(
         mode = label_counts.groupBy("mdst").agg(
             F.max_by("nbr_label", F.struct(F.col("cnt"), (-F.col("nbr_label")).alias("neg"))).alias("mode_label")
         )
-        return (
-            state.join(mode, state.vertex_id == F.col("mdst"), "left")
-            .select(
-                "vertex_id",
-                F.coalesce("mode_label", "label").alias("new_label"),
-                F.col("label").alias("old_label"),
-            )
-            .select(
-                "vertex_id",
-                F.col("new_label").alias("label"),
-                F.when(F.col("new_label") != F.col("old_label"), 1.0).otherwise(0.0).alias("delta"),
-            )
+        new_label = F.coalesce("mode_label", "label")
+        return state.join(mode, state.vertex_id == F.col("mdst"), "left").select(
+            "vertex_id",
+            new_label.alias("label"),
+            F.when(new_label != F.col("label"), 1.0).otherwise(0.0).alias("delta"),
         )
 
     driver = SuperstepDriver(spark, checkpoint_dir, run_id, "label_propagation", num_partitions)

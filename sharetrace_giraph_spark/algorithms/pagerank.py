@@ -122,11 +122,12 @@ def pagerank(
             inc = msgs.groupBy("mdst").agg(F.sum("contrib").alias("contrib"))
 
         base = F.lit((1.0 - damping) / n)
-        joined = (
-            verts.join(inc, verts.vertex_id == F.col("mdst"), "left")
-            .join(state.select(F.col("vertex_id").alias("ov"), F.col("rank").alias("old_rank")),
-                  verts.vertex_id == F.col("ov"))
-        )
+        # state already covers the full vertex universe (init from verts and
+        # every step preserves it), so ONE left join replaces verts ⋈ inc ⋈
+        # state — one fewer exchange per superstep
+        joined = state.select(
+            "vertex_id", F.col("rank").alias("old_rank")
+        ).join(inc, F.col("vertex_id") == F.col("mdst"), "left")
         if dangling is not None:
             # in-plan scalar: summed dangling mass as a 1-row broadcast
             dmass = (
@@ -140,7 +141,7 @@ def pagerank(
 
         new_rank = base + damping * F.coalesce(F.col("contrib"), F.lit(0.0)) + extra
         return joined.select(
-            verts.vertex_id.alias("vertex_id"),
+            "vertex_id",
             new_rank.alias("rank"),
             F.abs(new_rank - F.col("old_rank")).alias("delta"),
         )

@@ -148,8 +148,7 @@ def minhash_near_duplicates(
 # SimHash (vectorized pandas UDF — Arrow batches, no per-row Python)
 # ---------------------------------------------------------------------------
 
-@pandas_udf("long")
-def simhash64(texts: pd.Series) -> pd.Series:
+def _simhash64_batch(texts: pd.Series) -> pd.Series:
     """64-bit SimHash over whitespace tokens, token hash = blake2b-8
     (deterministic, seedless). Vectorized per Arrow batch; the inner loop
     is numpy bit arithmetic over the batch's token stream."""
@@ -173,6 +172,12 @@ def simhash64(texts: pd.Series) -> pd.Series:
             sh |= np.uint64(1) << np.uint64(b)
         out[i] = sh.astype(np.int64)
     return pd.Series(out)
+
+
+def simhash64(col) -> F.Column:
+    """Lazy pandas_udf wrapper (registering a pandas UDF needs an active
+    SparkSession in Spark 4, so registration happens at call time)."""
+    return pandas_udf(_simhash64_batch, "long")(col)
 
 
 def simhash_near_duplicates(

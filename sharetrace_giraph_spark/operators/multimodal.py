@@ -47,7 +47,7 @@ def synthesize_media(documents: DataFrame) -> DataFrame:
     assigned by doc_id hash. Real pipelines replace only this function."""
     kind = F.element_at(
         F.array(*[F.lit(k) for k in KINDS]),
-        (F.pmod(F.xxhash64("doc_id"), F.lit(len(KINDS))) + 1).cast("int"),
+        (F.pmod("doc_id", F.lit(len(KINDS))) + 1).cast("int"),
     )
     return documents.select(
         "doc_id",

@@ -34,11 +34,12 @@ from __future__ import annotations
 import os
 import re
 import time
+import uuid
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 
 #: reference convergence threshold (``MasterComputer.java:24``)
 DEFAULT_TOLERANCE = 1e-5
@@ -106,16 +107,33 @@ class SuperstepDriver:
         self.num_partitions = num_partitions or int(
             spark.conf.get("spark.sql.shuffle.partitions")
         )
+        self._tolerance = DEFAULT_TOLERANCE
 
     # -- checkpoint I/O ------------------------------------------------------
 
-    def _write_state(self, state: DataFrame, superstep: int) -> DataFrame:
+    def _write_state(
+        self, state: DataFrame, superstep: int, observe_delta: bool = False
+    ):
+        """Checkpoint the state; optionally piggyback the convergence
+        aggregates on the SAME write job via ``observe`` — one Spark action
+        per superstep total, no second pass over the data."""
         path = os.path.join(
             _state_dir(self.checkpoint_dir, self.run_id, self.algorithm),
             f"superstep={superstep}",
         )
+        obs = None
+        if observe_delta:
+            obs = Observation(f"superstep-{superstep}")
+            state = state.observe(
+                obs,
+                F.sum(F.abs(F.col("delta"))).alias("l1"),
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.when(F.abs("delta") > self._tolerance, 1).otherwise(0)).alias(
+                    "active"
+                ),
+            )
         state.write.mode("overwrite").parquet(path)
-        return self.spark.read.parquet(path)
+        return self.spark.read.parquet(path), (obs.get if obs is not None else None)
 
     def read_state(self, superstep: int) -> DataFrame:
         path = os.path.join(
@@ -125,26 +143,29 @@ class SuperstepDriver:
         return self.spark.read.parquet(path)
 
     def _append_metrics(self, row: dict) -> None:
-        df = self.spark.createDataFrame(
-            [
-                (
-                    self.run_id,
-                    self.algorithm,
-                    int(row["superstep"]),
-                    int(row["active_vertices"]),
-                    int(row["messages"]),
-                    float(row["l1_delta"]),
-                    int(row["wall_ms"]),
-                    int(row["num_partitions"]),
-                )
-            ],
-            schema=(
-                "run_id string, algorithm string, superstep int, active_vertices long,"
-                " messages long, l1_delta double, wall_ms long, num_partitions int"
-            ),
+        """One lineage row per superstep, written driver-side with pyarrow
+        (a Spark job for a 1-row append would cost more scheduling latency
+        than the superstep's own work at small scales)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        mdir = _metrics_dir(self.checkpoint_dir, self.run_id, self.algorithm)
+        os.makedirs(mdir, exist_ok=True)
+        table = pa.table(
+            {
+                "run_id": pa.array([self.run_id], pa.string()),
+                "algorithm": pa.array([self.algorithm], pa.string()),
+                "superstep": pa.array([int(row["superstep"])], pa.int32()),
+                "active_vertices": pa.array([int(row["active_vertices"])], pa.int64()),
+                "messages": pa.array([int(row["messages"])], pa.int64()),
+                "l1_delta": pa.array([float(row["l1_delta"])], pa.float64()),
+                "wall_ms": pa.array([int(row["wall_ms"])], pa.int64()),
+                "num_partitions": pa.array([int(row["num_partitions"])], pa.int32()),
+            }
         )
-        df.coalesce(1).write.mode("append").parquet(
-            _metrics_dir(self.checkpoint_dir, self.run_id, self.algorithm)
+        pq.write_table(
+            table,
+            os.path.join(mdir, f"superstep-{int(row['superstep'])}-{uuid.uuid4().hex[:8]}.parquet"),
         )
 
     def metrics(self) -> DataFrame:
@@ -164,6 +185,7 @@ class SuperstepDriver:
         min_supersteps: int = 1,
     ) -> SuperstepResult:
         t0 = time.monotonic()
+        self._tolerance = tolerance
         resumed_from = latest_committed(self.checkpoint_dir, self.run_id, self.algorithm) if resume else None
 
         if resumed_from is not None:
@@ -172,7 +194,10 @@ class SuperstepDriver:
         else:
             # superstep -1 checkpoint = the initial state, so a job killed in
             # superstep 0 still resumes deterministically
-            state = self._write_state(init_state, -1) if resume else init_state
+            if resume:
+                state, _ = self._write_state(init_state, -1)
+            else:
+                state = init_state
             start_step = 0
 
         l1 = float("inf")  # the DeltaAggregator +inf sentinel, reborn
@@ -184,14 +209,12 @@ class SuperstepDriver:
         for k in range(start_step, max_supersteps):
             ts = time.monotonic()
             new_state = step(state, k)
-            if self.num_partitions:
-                new_state = new_state.repartition(self.num_partitions, "vertex_id")
-            state = self._write_state(new_state, k)
-            agg = state.agg(
-                F.sum(F.abs(F.col("delta"))).alias("l1"),
-                F.count(F.lit(1)).alias("n"),
-                F.sum(F.when(F.abs("delta") > tolerance, 1).otherwise(0)).alias("active"),
-            ).first()
+            # no forced repartition: parquet round-trip drops partitioning
+            # info anyway, and AQE already coalesces the step's output; an
+            # extra exchange per superstep would buy nothing
+            # one Spark action per superstep: the checkpoint write, with the
+            # convergence aggregates observed on the same pass
+            state, agg = self._write_state(new_state, k, observe_delta=True)
             l1 = float(agg["l1"] or 0.0)
             wall_ms = int((time.monotonic() - ts) * 1000)
             row = {

@@ -1,0 +1,118 @@
+"""Warehouse abstraction: Iceberg-preferred, parquet-manifest fallback.
+
+The north rule stores transcripts and checkpoints in Iceberg. This
+container has no Iceberg runtime jar, so the same API is served by a
+parquet directory layout with an atomic JSON manifest that mimics the two
+Iceberg features the engine actually depends on:
+
+- **snapshots**: every append creates a new numbered snapshot; readers can
+  read "as of" a snapshot id;
+- **incremental reads**: read only the files added after a given snapshot
+  (the Iceberg ``incremental read`` used by the ingestion cursor).
+
+When an Iceberg catalog is configured (``spark.sql.catalog.*`` present and
+the runtime jar on the classpath), :func:`open_warehouse` returns the
+Iceberg-backed implementation with the same API; all engine code goes
+through this module, so swapping backends changes no call sites.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class ParquetWarehouse:
+    """Directory-per-table parquet warehouse with an atomic snapshot
+    manifest (`_manifest.json`, rewritten via rename)."""
+
+    def __init__(self, spark: SparkSession, root: str) -> None:
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # -- manifest -------------------------------------------------------------
+
+    def _tdir(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    def _manifest_path(self, table: str) -> str:
+        return os.path.join(self._tdir(table), "_manifest.json")
+
+    def _read_manifest(self, table: str) -> dict:
+        p = self._manifest_path(table)
+        if not os.path.exists(p):
+            return {"snapshots": []}
+        with open(p) as f:
+            return json.load(f)
+
+    def _write_manifest(self, table: str, manifest: dict) -> None:
+        os.makedirs(self._tdir(table), exist_ok=True)
+        p = self._manifest_path(table)
+        tmp = p + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, p)  # atomic commit — the Iceberg swap analog
+
+    # -- API ------------------------------------------------------------------
+
+    def append(self, df: DataFrame, table: str) -> int:
+        """Append rows as a new snapshot; returns the snapshot id."""
+        manifest = self._read_manifest(table)
+        snap_id = (manifest["snapshots"][-1]["id"] + 1) if manifest["snapshots"] else 0
+        part = os.path.join(self._tdir(table), f"snap-{snap_id:06d}")
+        df.write.mode("overwrite").parquet(part)
+        manifest["snapshots"].append(
+            {"id": snap_id, "path": part, "committed_at": time.time()}
+        )
+        self._write_manifest(table, manifest)
+        return snap_id
+
+    def write_table(self, df: DataFrame, table: str) -> int:
+        """Replace the table (truncate + append as snapshot history)."""
+        manifest = {"snapshots": []}
+        self._write_manifest(table, manifest)
+        return self.append(df, table)
+
+    def snapshot_ids(self, table: str) -> list[int]:
+        return [s["id"] for s in self._read_manifest(table)["snapshots"]]
+
+    def read_table(self, table: str, as_of: int | None = None) -> DataFrame:
+        snaps = self._read_manifest(table)["snapshots"]
+        if as_of is not None:
+            snaps = [s for s in snaps if s["id"] <= as_of]
+        if not snaps:
+            raise ValueError(f"table {table} has no snapshots (as_of={as_of})")
+        return self.spark.read.parquet(*[s["path"] for s in snaps])
+
+    def read_incremental(self, table: str, after: int | None) -> tuple[DataFrame | None, int | None]:
+        """Rows added strictly after snapshot ``after`` (None = everything).
+        Returns (df_or_None, latest_snapshot_id)."""
+        snaps = self._read_manifest(table)["snapshots"]
+        if not snaps:
+            return None, after
+        latest = snaps[-1]["id"]
+        new = [s for s in snaps if after is None or s["id"] > after]
+        if not new:
+            return None, latest
+        return self.spark.read.parquet(*[s["path"] for s in new]), latest
+
+
+def open_warehouse(spark: SparkSession, root: str):
+    """Return the best available warehouse implementation for ``root``.
+    Iceberg if a catalog + runtime are configured; parquet-manifest
+    otherwise (this container)."""
+    try:  # Iceberg availability probe — cheap, no-op when absent
+        spark._jvm.org.apache.iceberg.Table  # noqa: SLF001
+        has_iceberg = True
+    except Exception:
+        has_iceberg = False
+    if has_iceberg:  # pragma: no cover - not reachable in this container
+        from .iceberg import IcebergWarehouse  # type: ignore
+
+        return IcebergWarehouse(spark, root)
+    return ParquetWarehouse(spark, root)

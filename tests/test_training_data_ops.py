@@ -1,0 +1,155 @@
+"""Training-data operators without SQL oracles, verified against brute
+force / first principles on the sf0.001 documents+embeddings tables."""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+from sharetrace_giraph_spark.operators import dedup, multimodal, similarity
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").persist()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").persist()
+
+
+def _brute_jaccard(docs_pd, n=3):
+    """doc_id -> 3-gram set; all-pairs jaccard dict."""
+    grams = {}
+    for _, r in docs_pd.iterrows():
+        toks = r["text"].split()
+        grams[r["doc_id"]] = {
+            " ".join(toks[i : i + n]) for i in range(max(len(toks) - n + 1, 0))
+        }
+    return grams
+
+
+def test_minhash_lsh_recall_against_bruteforce(spark, docs):
+    """Every pair with true Jaccard >= 0.5 must be caught by 8-hash/4-band
+    LSH (band collision probability at s=0.5: 1-(1-s^2)^4 ≈ 0.68 per band
+    set... so we assert on >= 0.8 where collision is near-certain, and that
+    all reported pairs' jaccard values are exact)."""
+    got = {
+        (r.a, r.b): r.jaccard
+        for r in dedup.minhash_near_duplicates(docs, threshold=0.0).collect()
+    }
+    grams = _brute_jaccard(docs.toPandas())
+    ids = sorted(grams)
+    strong_missed = []
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            u = grams[a] | grams[b]
+            j = len(grams[a] & grams[b]) / len(u) if u else 0.0
+            if j >= 0.8 and (a, b) not in got:
+                strong_missed.append((a, b, j))
+    assert strong_missed == []
+    # reported jaccard values are exact (same definition)
+    for (a, b), j in got.items():
+        u = grams[a] | grams[b]
+        exact = len(grams[a] & grams[b]) / len(u) if u else 0.0
+        assert abs(j - exact) < 1e-6
+
+
+def test_exact_duplicates_detects_planted_dups(spark, docs):
+    planted = docs.limit(5).union(docs.limit(5))  # 5 doubled docs
+    groups = dedup.exact_duplicates(planted)
+    rows = groups.collect()
+    assert len(rows) == 5
+    assert all(r.n_dups == 2 for r in rows)
+
+
+def test_simhash_deterministic_and_near_dup_sane(spark, docs):
+    a = {r.doc_id: r.sh for r in docs.select("doc_id", dedup.simhash64("text").alias("sh")).collect()}
+    b = {r.doc_id: r.sh for r in docs.select("doc_id", dedup.simhash64("text").alias("sh")).collect()}
+    assert a == b  # deterministic across runs
+    # identical docs → identical simhash → hamming 0 pairs found
+    planted = docs.limit(3).union(
+        docs.limit(3).withColumn("doc_id", F.col("doc_id") + 100000)
+    )
+    pairs = dedup.simhash_near_duplicates(planted, max_hamming=0).collect()
+    assert {(r.a, r.b) for r in pairs} >= {
+        (r.doc_id, r.doc_id + 100000) for r in docs.limit(3).collect()
+    }
+
+
+def test_ivf_topk_recall_vs_bruteforce(spark, emb):
+    queries = emb.where(F.col("vec_id") < 10)
+    brute = similarity.brute_force_topk(emb, queries, k=5)
+    ivf = similarity.ivf_topk(emb, queries, k=5, n_centroids=8, n_probe=4)
+    b = {(r.query_id, r.neighbor_id) for r in brute.collect()}
+    g = {(r.query_id, r.neighbor_id) for r in ivf.collect()}
+    recall = len(b & g) / len(b)
+    assert recall >= 0.5, recall  # probing half the space; sanity bound
+    # and IVF sims are exact cosines for the pairs it does return
+    bs = {(r.query_id, r.neighbor_id): r.cos_sim for r in brute.collect()}
+    for r in ivf.collect():
+        if (r.query_id, r.neighbor_id) in bs:
+            assert abs(r.cos_sim - bs[(r.query_id, r.neighbor_id)]) < 1e-9
+
+
+def test_brute_topk_matches_numpy(spark, emb):
+    import numpy as np
+
+    pdf = emb.toPandas().sort_values("vec_id")
+    mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+    ids = pdf["vec_id"].to_numpy()
+    qidx = ids < 5
+    sims = (mat[qidx] @ mat.T) / (
+        np.linalg.norm(mat[qidx], axis=1)[:, None] * np.linalg.norm(mat, axis=1)[None, :]
+    )
+    got = similarity.brute_force_topk(emb, emb.where(F.col("vec_id") < 5), k=3).collect()
+    for r in got:
+        qpos = int(np.where(ids == r.query_id)[0][0])
+        npos = int(np.where(ids == r.neighbor_id)[0][0])
+        assert abs(r.cos_sim - round(float(sims[qpos, npos]), 6)) <= 1e-6
+
+
+def test_embedding_near_dup_planted(spark, emb):
+    """A duplicated vector (cosine 1.0) must be caught by the bucketed
+    near-dup scan (same vector → same bucket by construction)."""
+    dup = emb.limit(3).withColumn("vec_id", F.col("vec_id") + 100000)
+    planted = emb.union(dup)
+    pairs = similarity.embedding_near_duplicates(planted, threshold=0.999)
+    got = {(r.a, r.b) for r in pairs.collect()}
+    want = {(r.vec_id, r.vec_id + 100000) for r in emb.limit(3).collect()}
+    assert got >= want
+
+
+def test_multimodal_plumbing(spark, docs):
+    media = multimodal.synthesize_media(docs)
+    assert [f.name for f in media.schema.fields] == ["doc_id", "kind", "payload", "meta"]
+    feats = multimodal.extract_features(media, feature_dim=8, fake=True)
+    rows = feats.collect()
+    assert len(rows) == docs.count()
+    for r in rows[:10]:
+        assert len(r.feature) == 8
+        assert abs(sum(r.feature) - 1.0) < 1e-9  # histogram normalized
+        assert r.n_bytes > 0 and len(r.payload_md5) == 32
+    stats = multimodal.media_stats(media).collect()
+    assert {r.kind for r in stats} == {"image", "audio", "video"}
+    assert sum(r.n_items for r in stats) == docs.count()
+
+
+def test_multimodal_real_decode_is_stubbed(spark, docs):
+    """fake=False must fail loudly (NotImplementedError-wrapped) in this
+    container rather than produce garbage."""
+    media = multimodal.synthesize_media(docs.limit(2))
+    feats = multimodal.extract_features(media, fake=False)
+    try:
+        import PIL  # noqa: F401
+        pytest.skip("image lib present; decode path not stubbed here")
+    except ImportError:
+        pass
+    with pytest.raises(Exception) as ei:
+        feats.collect()
+    assert "NotImplementedError" in str(ei.value) or "real media decode" in str(ei.value)
