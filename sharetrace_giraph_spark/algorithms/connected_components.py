@@ -29,6 +29,7 @@ def connected_components(
     max_supersteps: int = 50,
     num_partitions: int | None = None,
     resume: bool = True,
+    checkpoint_every: int = 1,
 ) -> SuperstepResult:
     """Returns state (vertex_id, comp, delta); comp = min vertex id in the
     component (exact, deterministic)."""
@@ -53,7 +54,7 @@ def connected_components(
         )
 
     driver = SuperstepDriver(spark, checkpoint_dir, run_id, "connected_components", num_partitions)
-    res = driver.run(init, step, max_supersteps=max_supersteps, tolerance=0.5, resume=resume)
+    res = driver.run(init, step, max_supersteps=max_supersteps, tolerance=0.5, resume=resume, checkpoint_every=checkpoint_every)
     e.unpersist()
     verts.unpersist()
     return res

@@ -30,6 +30,7 @@ def label_propagation(
     max_supersteps: int = 5,
     num_partitions: int | None = None,
     resume: bool = True,
+    checkpoint_every: int = 1,
 ) -> SuperstepResult:
     """Returns state (vertex_id, label, delta). Labels init to vertex_id."""
     num_partitions = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -57,7 +58,7 @@ def label_propagation(
         )
 
     driver = SuperstepDriver(spark, checkpoint_dir, run_id, "label_propagation", num_partitions)
-    res = driver.run(init, step, max_supersteps=max_supersteps, tolerance=0.5, resume=resume)
+    res = driver.run(init, step, max_supersteps=max_supersteps, tolerance=0.5, resume=resume, checkpoint_every=checkpoint_every)
     e.unpersist()
     verts.unpersist()
     return res

@@ -71,6 +71,7 @@ def pagerank(
     salts: int = 16,
     handle_dangling: bool = True,
     resume: bool = True,
+    checkpoint_every: int = 1,
 ) -> SuperstepResult:
     """Returns SuperstepResult whose state is (vertex_id, rank, delta)."""
     num_partitions = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -147,7 +148,7 @@ def pagerank(
         )
 
     driver = SuperstepDriver(spark, checkpoint_dir, run_id, "pagerank", num_partitions)
-    result = driver.run(init, step, max_supersteps=max_supersteps, tolerance=tolerance, resume=resume)
+    result = driver.run(init, step, max_supersteps=max_supersteps, tolerance=tolerance, resume=resume, checkpoint_every=checkpoint_every)
     edges_w.unpersist()
     verts.unpersist()
     return result

@@ -93,6 +93,7 @@ def risk_propagation(
     tolerance: float = DEFAULT_TOLERANCE,
     num_partitions: int | None = None,
     resume: bool = True,
+    checkpoint_every: int = 1,
 ) -> SuperstepResult:
     num_partitions = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     edges = _directed_contact_edges(contacts).repartition(num_partitions, "u").persist()
@@ -148,6 +149,7 @@ def risk_propagation(
     res = driver.run(
         init_state(scores), step,
         max_supersteps=max_supersteps, tolerance=tolerance, resume=resume,
+        checkpoint_every=checkpoint_every,
     )
     edges.unpersist()
     return res

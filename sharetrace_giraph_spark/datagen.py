@@ -135,6 +135,30 @@ def generate_transcripts(
     )
 
 
+def generate_edges(
+    spark: SparkSession,
+    n_edges: int,
+    n_vertices: int,
+    hub_ppm: int = 20_000,
+    n_hubs: int = 4,
+    seed: int = 42,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Direct synthetic DIRECTED edge table ``(src: long, dst: long)`` for
+    engine benchmarks at scales where transcript derivation isn't the thing
+    being measured. Deterministic (hash-of-index), self-loop-free, with
+    ``hub_ppm`` parts-per-million of edges redirected into ``n_hubs`` hub
+    destinations (power-law-ish in-degree skew for the salting path)."""
+    df = spark.range(0, n_edges, 1, num_partitions or spark.sparkContext.defaultParallelism)
+    src = F.pmod(_h(seed + 11, F.col("id")), F.lit(n_vertices))
+    dst_raw = F.pmod(_h(seed + 12, F.col("id")), F.lit(n_vertices))
+    dst_raw = F.when(dst_raw == src, F.pmod(dst_raw + 1, F.lit(n_vertices))).otherwise(dst_raw)
+    is_hub_edge = F.pmod(_h(seed + 13, F.col("id")), F.lit(1_000_000)) < hub_ppm
+    hub = F.pmod(_h(seed + 14, F.col("id")), F.lit(max(n_hubs, 1)))
+    dst = F.when(is_hub_edge & (src != hub), hub).otherwise(dst_raw)
+    return df.select(src.alias("src"), dst.alias("dst"))
+
+
 # ---------------------------------------------------------------------------
 # Tiny fixture: the reference topology, transplanted to transcripts.
 # ---------------------------------------------------------------------------

@@ -10,6 +10,15 @@ aggregation**: spread each hub key over ``salts`` sub-keys, partially
 aggregate per (key, salt), then finish per key. rows-per-reducer drops from
 deg(hub) to deg(hub)/salts at the cost of one extra (tiny) shuffle over
 the pre-aggregated rows.
+
+When to turn it on (measured tradeoff, see BENCH.md): partial aggregation
+already caps a hub reducer's input at (#map partitions) rows, so on
+local[32] salting only adds a join and a shuffle (~3x slower per
+superstep at 4M edges). It pays on real clusters where #map partitions is
+in the thousands AND partial aggregation is ineffective (very wide
+partial-agg key space forcing hash-map fallback), or for aggregates that
+don't combine map-side. The engine exposes it per-run
+(``pagerank(salt_threshold=...)``) rather than defaulting it on.
 """
 
 from __future__ import annotations

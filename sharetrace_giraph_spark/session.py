@@ -51,6 +51,10 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        # iterative gather-scatter joins are hash-partitioned equi joins on
+        # vertex ids; a sort-merge join would re-sort the (static) edge side
+        # every superstep — prefer shuffled hash join, Giraph-style
+        .config("spark.sql.join.preferSortMergeJoin", "false")
     )
     if extra_conf:
         for k, v in extra_conf.items():
