@@ -39,24 +39,28 @@ def triangles(
         .agg(F.count(F.lit(1)).alias("deg"))
     )
 
-    # orientation rank: dense (deg, id) order — one global sort over V rows
-    w = Window.orderBy("deg", "v")
-    rank = deg.select("v", F.row_number().over(w).alias("ord"))
-
+    # orientation order = lexicographic (deg, id) compared directly as a
+    # struct — no global rank/sort needed (a row_number() OVER (ORDER BY ...)
+    # here would funnel all V rows through one task)
     er = (
-        e.join(rank.withColumnRenamed("v", "src").withColumnRenamed("ord", "src_ord"), "src")
-        .join(rank.withColumnRenamed("v", "dst").withColumnRenamed("ord", "dst_ord"), "dst")
+        e.join(deg.select(F.col("v").alias("src"), F.col("deg").alias("src_deg")), "src")
+        .join(deg.select(F.col("v").alias("dst"), F.col("deg").alias("dst_deg")), "dst")
     )
+    src_lt = F.struct(F.col("src_deg"), F.col("src")) < F.struct(F.col("dst_deg"), F.col("dst"))
     oriented = er.select(
-        F.when(F.col("src_ord") < F.col("dst_ord"), F.col("src")).otherwise(F.col("dst")).alias("lo"),
-        F.when(F.col("src_ord") < F.col("dst_ord"), F.col("dst")).otherwise(F.col("src")).alias("hi"),
-        F.when(F.col("src_ord") < F.col("dst_ord"), F.col("dst_ord")).otherwise(F.col("src_ord")).alias("hi_ord"),
+        F.when(src_lt, F.col("src")).otherwise(F.col("dst")).alias("lo"),
+        F.when(src_lt, F.col("dst")).otherwise(F.col("src")).alias("hi"),
+        F.when(src_lt, F.col("dst_deg")).otherwise(F.col("src_deg")).alias("hi_deg"),
     ).persist()
 
     e1, e2 = oriented.alias("e1"), oriented.alias("e2")
     wedges = e1.join(
         e2,
-        (F.col("e1.lo") == F.col("e2.lo")) & (F.col("e1.hi_ord") < F.col("e2.hi_ord")),
+        (F.col("e1.lo") == F.col("e2.lo"))
+        & (
+            F.struct(F.col("e1.hi_deg"), F.col("e1.hi"))
+            < F.struct(F.col("e2.hi_deg"), F.col("e2.hi"))
+        ),
     ).select(
         F.col("e1.lo").alias("a"), F.col("e1.hi").alias("b"), F.col("e2.hi").alias("c")
     )

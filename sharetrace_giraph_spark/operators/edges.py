@@ -166,20 +166,56 @@ def _tool_cooccurrence(
 # ---------------------------------------------------------------------------
 
 
+def dense_ids(
+    rows: DataFrame, key: str, out: str = "vertex_id", num_partitions: int | None = None
+) -> DataFrame:
+    """Dense deterministic ids 0..N-1 by global ``key`` order, WITHOUT a
+    single-partition global window (which funnels all N rows through one
+    task — the classic ``row_number() OVER (ORDER BY ...)`` scale trap).
+
+    Two-pass range-partitioned assignment: (1) range-partition + sort by
+    key, count rows per partition (P rows to the driver); (2) id =
+    partition offset + (row_number within partition) - 1. Global order is
+    preserved because range partitions are ordered and rows are sorted
+    within each, so the ids are a pure function of the input key set —
+    reproducible regardless of where the sampled range boundaries land.
+    """
+    spark = rows.sparkSession
+    num_partitions = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    parts = rows.repartitionByRange(num_partitions, key).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    counts = sorted(
+        (r["_pid"], r["n"])
+        for r in parts.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    offsets, acc = [], 0
+    for pid, n in counts:
+        offsets.append((pid, acc))
+        acc += n
+    off = spark.createDataFrame(offsets or [(0, 0)], "_pid int, _off long")
+    w = Window.partitionBy("_pid").orderBy(key)
+    return (
+        parts.join(F.broadcast(off), "_pid")
+        .select(
+            (F.col("_off") + F.row_number().over(w) - 1).cast("long").alias(out),
+            key,
+        )
+    )
+
+
 def vertex_ids(contacts: DataFrame) -> DataFrame:
     """Dense deterministic vertex ids: ``(vertex_id: long, role: string)``.
 
     Dense (0..V-1) so CSR kernels can index arrays directly; deterministic
-    (ordered by role) so runs are reproducible. One global sort over the
-    *distinct actor set* (V rows, not E) — cheap relative to the edges.
+    (ordered by role) so runs are reproducible. Assignment is the
+    range-partitioned two-pass of :func:`dense_ids` — no global
+    single-partition sort even at 10^9-vertex scale.
     """
     actors = contacts.select(F.col("src").alias("role")).unionByName(
         contacts.select(F.col("dst").alias("role"))
     ).distinct()
-    w = Window.orderBy("role")
-    return actors.select(
-        (F.row_number().over(w) - 1).cast("long").alias("vertex_id"), "role"
-    )
+    return dense_ids(actors, "role")
 
 
 def encode_edges(contacts: DataFrame, vertices: DataFrame) -> DataFrame:
