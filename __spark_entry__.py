@@ -358,6 +358,174 @@ def q_epoch_millis(spark, sf_dir):
     ).orderBy("event_id").limit(500)
 
 
+def q_ntile_partition(spark, sf_dir):
+    """A7 analog: the ventilator's fixed-size round-robin payload chopping
+    (PARTITION_SIZE=50) as ntile bucketing — per-bucket membership counts.
+    ntile needs a global order (single-partition window) and exists here
+    as the SQL-checkable spelling only; the engine's scale path for the
+    same intent is repartition()/repartitionByRange (no global sort)."""
+    c = _t(spark, sf_dir, "customer")
+    w = Window.orderBy("c_custkey")
+    n_buckets = 30
+    return (
+        c.select("c_custkey", F.ntile(n_buckets).over(w).alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.min("c_custkey").alias("first_user"),
+            F.max("c_custkey").alias("last_user"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# -- reference BP semantics as SQL-checkable array/scalar queries ------------
+#    (F3/F4/W2/A1, F5/U2, A2/U1, the transmission gate — SURVEY §2.2/2.4/2.8)
+
+
+def q_score_recency_filter(spark, sf_dir):
+    """F3+F4+W2+A1: per user, collect the score set, cutoff = latest ts
+    (W2 array_max), retain strictly-older scores via a higher-order array
+    filter (F3), drop users whose set became empty (F4), report the count
+    and the max surviving value (A1)."""
+    from sharetrace_giraph_spark.functions import drop_if_empty, recency_filter
+
+    ev = _t(spark, sf_dir, "events")
+    g = ev.groupBy("user_id").agg(
+        F.collect_list(F.struct("ts", "value", "event_id")).alias("scores")
+    )
+    cut = F.array_max(F.expr("transform(scores, s -> s.ts)"))
+    live = g.withColumn("live", recency_filter(F.col("scores"), cut))
+    return (
+        drop_if_empty(live, "live")
+        .select(
+            "user_id",
+            F.size("live").alias("n_live"),
+            F.round(F.array_max(F.expr("transform(live, s -> s.value)")), 6).alias(
+                "max_live_value"
+            ),
+        )
+        .orderBy("user_id")
+    )
+
+
+def q_sender_exclusion_sum(spark, sf_dir):
+    """F5/U2: for each (user, event_type), the sum of that user's values
+    contributed by OTHER event types — the no-echo exclusion (a variable
+    vertex never sends a factor its own contribution back)."""
+    ev = _t(spark, sf_dir, "events")
+    g = ev.groupBy("user_id", "event_type").agg(F.sum("value").alias("own"))
+    w = Window.partitionBy("user_id")
+    return g.select(
+        "user_id",
+        "event_type",
+        F.round(F.sum("own").over(w) - F.col("own"), 6).alias("others_sum"),
+    ).orderBy("user_id", "event_type")
+
+
+def q_union_combine_scores(spark, sf_dir):
+    """A2/U1: per user, set-union of two deduped score sets (click vs
+    purchase values, rounded) via array_union + array_distinct — the
+    variable-vertex value combine."""
+    ev = _t(spark, sf_dir, "events")
+    g = (
+        ev.where(F.col("event_type").isin("click", "purchase"))
+        .groupBy("user_id")
+        .agg(
+            F.collect_set(
+                F.when(F.col("event_type") == "click", F.round("value", 2))
+            ).alias("a"),
+            F.collect_set(
+                F.when(F.col("event_type") == "purchase", F.round("value", 2))
+            ).alias("b"),
+        )
+    )
+    merged = F.array_sort(F.array_union("a", "b"))
+    return g.select(
+        "user_id",
+        F.size(merged).alias("n_union"),
+        F.round(
+            F.aggregate(merged, F.lit(0.0), lambda acc, x: acc + x), 4
+        ).alias("sum_union"),
+    ).orderBy("user_id")
+
+
+def q_transmission_gate(spark, sf_dir):
+    """§2.8 transmission gate, made deterministic: value transmits iff
+    pmod(event_id, 10) < 7 (rate 0.7 keyed by id — fixes the reference's
+    inverted RNG compare, see functions/scalars.py)."""
+    from sharetrace_giraph_spark.functions import transmission_gate
+
+    ev = _t(spark, sf_dir, "events")
+    gated = transmission_gate(F.col("value"), F.col("event_id"), rate=0.7)
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.sum(gated), 4).alias("transmitted"),
+            F.round(F.sum("value"), 4).alias("total"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_rollup_agg(spark, sf_dir):
+    """Subtotal hierarchy via ROLLUP — the generic agg surface Catalyst
+    gives for free (reference has none; SURVEY §2.4 note)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n",
+            "sum_qty",
+        )
+        .orderBy("returnflag", "linestatus")
+    )
+
+
+# -- edge derivation, SQL-checked (J3'/J4'/W4/A5 — the flagship operator) -----
+
+
+def q_contacts_summary(spark, sf_dir):
+    """The full transcript→contact derivation (sessionize → span agg →
+    blocked self-join → occurrence dedup/merge), flattened to
+    (src, dst, n_occurrences, total_duration_ms) so DuckDB can replay it
+    relationally as the oracle."""
+    from sharetrace_giraph_spark.operators import edges as E
+
+    t = transcripts_from_events(spark, sf_dir)
+    contacts = E.derive_contacts(t, duration_threshold_s=0, session_gap_s=6 * 3600)
+    return contacts.select(
+        "src",
+        "dst",
+        F.size("occurrences").alias("n_occurrences"),
+        F.aggregate(
+            "occurrences", F.lit(0).cast("long"), lambda acc, o: acc + o["duration_ms"]
+        ).alias("total_duration_ms"),
+    ).orderBy("src", "dst")
+
+
+def q_degree_census(spark, sf_dir):
+    """Per-actor undirected contact degree (the skew census that decides
+    hub salting, operators/skew.py)."""
+    from sharetrace_giraph_spark.operators import edges as E
+    from sharetrace_giraph_spark.operators.skew import degree_census
+
+    t = transcripts_from_events(spark, sf_dir)
+    contacts = E.derive_contacts(t, duration_threshold_s=0, session_gap_s=6 * 3600)
+    und = E.undirect(contacts.select("src", "dst"))
+    return (
+        degree_census(und, "in")
+        .select(F.col("vertex_id").alias("role"), F.col("degree").cast("int").alias("degree"))
+        .orderBy("role")
+    )
+
+
 # -- training-data pipeline ops: dedup / text analysis / similarity ----------
 
 
@@ -508,6 +676,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sorted_sequence": q_sorted_sequence,
         "union_dedup": q_union_dedup,
         "epoch_millis": q_epoch_millis,
+        "ntile_partition": q_ntile_partition,
+        "score_recency_filter": q_score_recency_filter,
+        "sender_exclusion_sum": q_sender_exclusion_sum,
+        "union_combine_scores": q_union_combine_scores,
+        "transmission_gate": q_transmission_gate,
+        "rollup_agg": q_rollup_agg,
+        "contacts_summary": q_contacts_summary,
+        "degree_census": q_degree_census,
         # training-data pipeline ops
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -640,6 +816,143 @@ def oracle_sql() -> dict[str, str]:
         "epoch_millis": """
             SELECT event_id, CAST(epoch_ms(ts) AS BIGINT) AS ts_ms
             FROM events ORDER BY event_id LIMIT 500
+        """,
+        "ntile_partition": """
+            SELECT bucket,
+                   CAST(count(*) AS BIGINT) AS n_users,
+                   min(c_custkey) AS first_user,
+                   max(c_custkey) AS last_user
+            FROM (SELECT c_custkey,
+                         CAST(ntile(30) OVER (ORDER BY c_custkey) AS INT) AS bucket
+                  FROM customer)
+            GROUP BY bucket ORDER BY bucket
+        """,
+        "score_recency_filter": """
+            WITH c AS (SELECT user_id, max(ts) AS cut FROM events GROUP BY user_id)
+            SELECT e.user_id,
+                   CAST(count(*) AS INT) AS n_live,
+                   round(max(e.value), 6) AS max_live_value
+            FROM events e JOIN c USING (user_id)
+            WHERE e.ts < c.cut
+            GROUP BY e.user_id ORDER BY user_id
+        """,
+        "sender_exclusion_sum": """
+            WITH g AS (
+                SELECT user_id, event_type, sum(value) AS own
+                FROM events GROUP BY user_id, event_type)
+            SELECT user_id, event_type,
+                   round(sum(own) OVER (PARTITION BY user_id) - own, 6) AS others_sum
+            FROM g ORDER BY user_id, event_type
+        """,
+        "union_combine_scores": """
+            WITH f AS (
+                SELECT user_id, round(value, 2) AS v
+                FROM events WHERE event_type IN ('click', 'purchase'))
+            SELECT user_id,
+                   CAST(count(DISTINCT v) AS INT) AS n_union,
+                   round(sum(DISTINCT v), 4) AS sum_union
+            FROM f GROUP BY user_id ORDER BY user_id
+        """,
+        "transmission_gate": """
+            SELECT event_type,
+                   round(sum(CASE WHEN event_id % 10 < 7 THEN value ELSE 0.0 END), 4)
+                       AS transmitted,
+                   round(sum(value), 4) AS total
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "rollup_agg": """
+            SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+                   coalesce(l_linestatus, 'ALL') AS linestatus,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(sum(l_quantity), 4) AS sum_qty
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
+            ORDER BY returnflag, linestatus
+        """,
+        "contacts_summary": """
+            WITH tr AS (
+                SELECT event_type || '-' ||
+                           CAST(CAST(floor(epoch(ts) / 86400) AS BIGINT) AS VARCHAR) AS conv_id,
+                       'u' || CAST(user_id AS VARCHAR) AS role,
+                       ts, event_id
+                FROM events
+            ), ordered AS (
+                SELECT conv_id, role, ts,
+                       row_number() OVER (PARTITION BY conv_id ORDER BY ts, event_id) - 1
+                           AS turn_idx
+                FROM tr
+            ), gaps AS (
+                SELECT conv_id, role, ts, turn_idx,
+                       floor(epoch(ts)) - lag(floor(epoch(ts))) OVER
+                           (PARTITION BY conv_id ORDER BY ts, turn_idx) AS gap
+                FROM ordered
+            ), sess AS (
+                SELECT conv_id, role, ts,
+                       sum(CASE WHEN gap IS NULL OR gap <= 21600 THEN 0 ELSE 1 END)
+                           OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+                FROM gaps
+            ), spans AS (
+                SELECT conv_id, session_id, role,
+                       min(ts) AS first_ts, max(ts) AS last_ts
+                FROM sess GROUP BY conv_id, session_id, role
+            ), pairs AS (
+                SELECT a.role AS src, b.role AS dst,
+                       greatest(a.first_ts, b.first_ts) AS start,
+                       floor(epoch(least(a.last_ts, b.last_ts)))
+                           - floor(epoch(greatest(a.first_ts, b.first_ts))) AS dur_s
+                FROM spans a JOIN spans b
+                  ON a.conv_id = b.conv_id AND a.session_id = b.session_id
+                 AND a.role < b.role
+            ), dedup AS (
+                SELECT DISTINCT src, dst, start, dur_s FROM pairs WHERE dur_s >= 0
+            )
+            SELECT src, dst,
+                   CAST(count(*) AS INT) AS n_occurrences,
+                   CAST(sum(dur_s) * 1000 AS BIGINT) AS total_duration_ms
+            FROM dedup GROUP BY src, dst ORDER BY src, dst
+        """,
+        "degree_census": """
+            WITH tr AS (
+                SELECT event_type || '-' ||
+                           CAST(CAST(floor(epoch(ts) / 86400) AS BIGINT) AS VARCHAR) AS conv_id,
+                       'u' || CAST(user_id AS VARCHAR) AS role,
+                       ts, event_id
+                FROM events
+            ), ordered AS (
+                SELECT conv_id, role, ts,
+                       row_number() OVER (PARTITION BY conv_id ORDER BY ts, event_id) - 1
+                           AS turn_idx
+                FROM tr
+            ), gaps AS (
+                SELECT conv_id, role, ts, turn_idx,
+                       floor(epoch(ts)) - lag(floor(epoch(ts))) OVER
+                           (PARTITION BY conv_id ORDER BY ts, turn_idx) AS gap
+                FROM ordered
+            ), sess AS (
+                SELECT conv_id, role, ts,
+                       sum(CASE WHEN gap IS NULL OR gap <= 21600 THEN 0 ELSE 1 END)
+                           OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+                FROM gaps
+            ), spans AS (
+                SELECT conv_id, session_id, role,
+                       min(ts) AS first_ts, max(ts) AS last_ts
+                FROM sess GROUP BY conv_id, session_id, role
+            ), pairs AS (
+                SELECT a.role AS src, b.role AS dst
+                FROM spans a JOIN spans b
+                  ON a.conv_id = b.conv_id AND a.session_id = b.session_id
+                 AND a.role < b.role
+                WHERE floor(epoch(least(a.last_ts, b.last_ts)))
+                      >= floor(epoch(greatest(a.first_ts, b.first_ts)))
+            ), und AS (
+                SELECT DISTINCT src, dst FROM pairs
+                UNION ALL
+                SELECT DISTINCT dst AS src, src AS dst FROM pairs
+            )
+            SELECT src AS role, CAST(count(*) AS INT) AS degree
+            FROM und GROUP BY src ORDER BY role
         """,
         "dedup_exact": """
             SELECT md5(text) AS text_hash,

@@ -1,0 +1,103 @@
+"""Physical-plan discipline checks — the plans we want, not just plans
+that pass (SURVEY §4, README "Execution-plan discipline").
+
+These assert on ``explain`` output so a regression that silently
+de-optimizes a hot path (lost pushdown, a single-partition global
+exchange, a dropped broadcast) fails CI rather than a future bench run.
+"""
+
+from __future__ import annotations
+
+import io
+
+import pyspark.sql.functions as F
+
+import __spark_entry__ as em
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    """F1-analog predicate must land in the parquet scan (PushedFilters),
+    and column pruning must shrink ReadSchema to the referenced columns."""
+    plan = _plan(em.q_filtered_sum_pushdown(spark, SF_DIR))
+    assert "PushedFilters" in plan
+    assert "l_shipdate" in plan.split("PushedFilters")[1].splitlines()[0]
+    # projection pruning: o_orderpriority etc. are never read
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "l_extendedprice" in read_schema and "l_orderkey" not in read_schema
+
+
+def test_small_dim_join_broadcasts(spark):
+    """The nation dim must broadcast, not shuffle both sides."""
+    plan = _plan(em.q_join_agg_revenue(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_aggregation_has_partial_and_final(spark):
+    """Map-side combine (Giraph combiner analog A5): the groupBy compiles
+    to partial + final HashAggregate."""
+    plan = _plan(em.q_groupby_multi_agg(spark, SF_DIR))
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_sum" in plan  # map-side combine before the exchange
+
+
+def test_vertex_ids_no_single_partition_exchange(spark):
+    """Dense-id assignment must never plan a SinglePartition exchange
+    (the global row_number() trap this engine explicitly avoids)."""
+    from sharetrace_giraph_spark.operators.edges import dense_ids
+
+    df = spark.range(0, 1000).select(
+        F.format_string("r%05d", F.col("id")).alias("role")
+    )
+    plan = _plan(dense_ids(df, "role"))
+    assert "SinglePartition" not in plan
+
+
+def test_triangle_orientation_no_single_partition(spark):
+    """Degree orientation compares (deg, id) structs — no global sort."""
+    from sharetrace_giraph_spark.algorithms import triangles
+
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 2), (2, 3)], "src long, dst long"
+    )
+    verts = spark.createDataFrame([(i,) for i in range(4)], "vertex_id long")
+    _, per_vertex = triangles(spark, edges, verts)
+    plan = _plan(per_vertex)
+    assert "SinglePartition" not in plan
+    assert "row_number" not in plan.lower()
+
+
+def test_pagerank_superstep_plan_shape(spark, tmp_path):
+    """One superstep's message plan: the edge side is an equi hash join
+    against the cached edge relation, message agg is partial+final, and
+    nothing funnels through a single partition."""
+    from sharetrace_giraph_spark import datagen
+    from sharetrace_giraph_spark.algorithms.pagerank import _prepare
+
+    canon = datagen.generate_edges(spark, 2000, 200, num_partitions=4)
+    edges = canon.union(canon.selectExpr("dst AS src", "src AS dst"))
+    verts = canon.selectExpr("src AS vertex_id").union(
+        canon.selectExpr("dst AS vertex_id")
+    ).distinct()
+    edges_w, v, n = _prepare(edges, verts, 8)
+    state = v.select(
+        "vertex_id", F.lit(1.0 / n).alias("rank"), F.lit(1.0).alias("delta")
+    )
+    msgs = (
+        edges_w.join(state, edges_w.src == state.vertex_id)
+        .groupBy(edges_w.dst.alias("mdst"))
+        .agg(F.sum(F.col("rank") * F.col("inv_deg")).alias("contrib"))
+    )
+    plan = _plan(msgs)
+    assert "SinglePartition" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final message combine
+    assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan  # cached edges
+    edges_w.unpersist()
+    v.unpersist()
