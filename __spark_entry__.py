@@ -52,7 +52,8 @@ def _graph(spark: SparkSession, sf_dir: str):
     from sharetrace_giraph_spark.operators import edges as E
 
     t = transcripts_from_events(spark, sf_dir)
-    contacts = E.derive_contacts(t, duration_threshold_s=0, session_gap_s=6 * 3600)
+    # persisted: vertex_ids / encode_edges / the algorithm each re-evaluate it
+    contacts = E.derive_contacts(t, duration_threshold_s=0, session_gap_s=6 * 3600).persist()
     verts = E.vertex_ids(contacts)
     enc = E.encode_edges(contacts, verts)
     return contacts, verts, enc

@@ -182,8 +182,13 @@ def dense_ids(
     """
     spark = rows.sparkSession
     num_partitions = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    parts = rows.repartitionByRange(num_partitions, key).withColumn(
-        "_pid", F.spark_partition_id()
+    # persisted: (a) the count pass and the id pass must see the SAME range
+    # boundaries; (b) downstream consumers re-evaluate this frame several
+    # times (encode join, init state) and must not replay rows' lineage
+    parts = (
+        rows.repartitionByRange(num_partitions, key)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
     )
     counts = sorted(
         (r["_pid"], r["n"])
