@@ -7,7 +7,11 @@ starts labeled with itself, each superstep every vertex adopts
 order- and tie-safe), which the north rule's "component ids exact"
 requires. Converges in O(component diameter) supersteps; the checkpointed
 driver halts when no label changes (L1 delta of the 0/1 change indicator
-< 0.5).
+< 0.5). Messages come from the ACTIVE FRONTIER only (vertices whose label
+changed last superstep — the I3 voteToHalt/re-activation analog): a min
+label can only improve through a neighbor that itself improved, so
+non-frontier senders are provably redundant and the join shrinks
+geometrically as components settle.
 
 Edges must be directed both ways (``operators.edges.undirect``).
 """
@@ -41,8 +45,14 @@ def connected_components(
     init = verts.select("vertex_id", F.col("vertex_id").alias("comp"), F.lit(1.0).alias("delta"))
 
     def step(state: DataFrame, k: int) -> DataFrame:
+        # I3 frontier (voteToHalt analog, FactorVertexComputation.java:86):
+        # only vertices whose label changed last superstep send — a min-label
+        # can only improve via a neighbor that itself improved. The frontier
+        # collapses geometrically, so late supersteps join a small fraction
+        # of V instead of all of it.
+        frontier = state.where(F.col("delta") > 0.5)
         inc = (
-            e.join(state, e.src == state.vertex_id)
+            e.join(frontier, e.src == frontier.vertex_id)
             .groupBy(e.dst.alias("mdst"))
             .agg(F.min("comp").alias("min_nbr"))
         )
