@@ -37,6 +37,13 @@ def main() -> None:
     ap.add_argument("--transcripts", help="parquet path (or Iceberg table) of transcripts")
     ap.add_argument("--synthetic-convs", type=int, help="generate synthetic transcripts instead")
     ap.add_argument(
+        "--factor-graph-json",
+        help="reference-format JSON-lines factor-graph file (the reference "
+        "runner's -vip input, e.g. its input.txt) — sources/jsonlines.py; "
+        "with --algorithm risk_prop the output is also written as the "
+        "reference's JSON-lines score format next to --output",
+    )
+    ap.add_argument(
         "--algorithm",
         required=True,
         choices=["pagerank", "cc", "lpa", "triangles", "risk_prop"],
@@ -57,14 +64,20 @@ def main() -> None:
 
     spark = get_spark(app_name=f"stgs-{args.algorithm}")
 
-    if args.synthetic_convs:
-        t = datagen.generate_transcripts(spark, n_convs=args.synthetic_convs)
-    elif args.transcripts:
-        t = spark.read.parquet(args.transcripts)
-    else:
-        raise SystemExit("need --transcripts or --synthetic-convs")
+    json_scores = None
+    if args.factor_graph_json:
+        from sharetrace_giraph_spark.sources import jsonlines
 
-    contacts = E.derive_contacts(t)
+        contacts, json_scores = jsonlines.read_factor_graph(spark, args.factor_graph_json)
+        contacts = contacts.persist()
+    else:
+        if args.synthetic_convs:
+            t = datagen.generate_transcripts(spark, n_convs=args.synthetic_convs)
+        elif args.transcripts:
+            t = spark.read.parquet(args.transcripts)
+        else:
+            raise SystemExit("need --transcripts, --synthetic-convs, or --factor-graph-json")
+        contacts = E.derive_contacts(t).persist()
     verts = E.vertex_ids(contacts)
     enc = E.encode_edges(contacts, verts)
 
@@ -103,7 +116,12 @@ def main() -> None:
     else:  # risk_prop
         from sharetrace_giraph_spark.algorithms import final_scores, risk_propagation
 
-        scores = spark.read.parquet(args.transcripts + ".scores") if args.transcripts else datagen.tiny_fixture_scores(spark)
+        if json_scores is not None:
+            scores = json_scores
+        elif args.transcripts:
+            scores = spark.read.parquet(args.transcripts + ".scores")
+        else:
+            scores = datagen.tiny_fixture_scores(spark)
         res = risk_propagation(
             spark, contacts, scores, args.checkpoint_dir, run_id=args.run_id,
             max_supersteps=args.max_supersteps, resume=resume,
@@ -111,6 +129,10 @@ def main() -> None:
         out = final_scores(res.state)
 
     out.write.mode("overwrite").parquet(args.output)
+    if args.factor_graph_json and args.algorithm == "risk_prop":
+        from sharetrace_giraph_spark.sources import jsonlines
+
+        jsonlines.write_variable_scores(out, args.output + "-jsonl")
     summary = {
         "algorithm": args.algorithm,
         "rows": out.count(),
