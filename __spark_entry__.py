@@ -557,6 +557,12 @@ def q_text_token_count(spark, sf_dir):
     return token_count(_t(spark, sf_dir, "documents")).orderBy("doc_id")
 
 
+def q_text_token_count_bpe(spark, sf_dir):
+    from sharetrace_giraph_spark.operators.text import token_count_bpe
+
+    return token_count_bpe(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
 def q_text_quality(spark, sf_dir):
     from sharetrace_giraph_spark.operators.text import quality_score
 
@@ -692,6 +698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "text_fingerprint": q_text_fingerprint,
         "text_token_count": q_text_token_count,
+        "text_token_count_bpe": q_text_token_count_bpe,
         "text_quality": q_text_quality,
         "text_lang_id": q_text_lang_id,
         "sim_topk_bruteforce": q_sim_topk_bruteforce,
@@ -971,6 +978,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CAST(len(list_filter(string_split_regex(text, '\\s+'),
                                         x -> x <> '')) AS INT) AS n_tokens
+            FROM documents ORDER BY doc_id
+        """,
+        "text_token_count_bpe": """
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                       '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS INT) AS n_bpe_tokens
             FROM documents ORDER BY doc_id
         """,
         "text_quality": """

@@ -31,6 +31,23 @@ def token_count(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return df.select(id_col, F.size(tokens(text_col)).alias("n_tokens"))
 
 
+#: BPE-ish pre-tokenizer: alphabetic runs, single digits, single
+#: punctuation marks — the shape GPT-2-style byte-pair pre-splitting
+#: produces before merges (public pattern family, kept regex-simple so
+#: DuckDB's regexp_extract_all reproduces it exactly for the oracle)
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+def token_count_bpe(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Subword-style token count: alphabetic runs + single digits + single
+    punctuation (JVM-side regexp, no Python)."""
+    c = F.col(text_col)
+    return df.select(
+        id_col,
+        F.size(F.regexp_extract_all(c, F.lit(BPE_ISH_PATTERN), 0)).alias("n_bpe_tokens"),
+    )
+
+
 def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Deterministic quality heuristics: token count, mean token length,
     stopword ratio, and a composite score in [0,1]. (The classic
