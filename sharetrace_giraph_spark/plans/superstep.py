@@ -133,6 +133,7 @@ class SuperstepDriver:
                 ),
             )
         state.write.mode("overwrite").parquet(path)
+        self._append_partition_metrics(superstep, path)
         return self.spark.read.parquet(path), (obs.get if obs is not None else None)
 
     def _persist_state(self, state: DataFrame):
@@ -181,9 +182,54 @@ class SuperstepDriver:
             os.path.join(mdir, f"superstep-{int(row['superstep'])}-{uuid.uuid4().hex[:8]}.parquet"),
         )
 
+    def _append_partition_metrics(self, superstep: int, state_path: str) -> None:
+        """Per-partition lineage (north-rule: 'checkpoints per-partition
+        frontier state and lineage/metrics'): one row per state file of
+        this superstep, harvested from the parquet FOOTERS the checkpoint
+        write already produced — driver-side metadata reads, no Spark job
+        and no second pass over the data."""
+        import pyarrow.parquet as pq
+
+        files = sorted(
+            f for f in os.listdir(state_path)
+            if f.endswith(".parquet") and not f.startswith("_")
+        )
+        if not files:
+            return
+        import pyarrow as pa
+
+        rows, nbytes = [], []
+        for f in files:
+            meta = pq.ParquetFile(os.path.join(state_path, f)).metadata
+            rows.append(meta.num_rows)
+            nbytes.append(os.path.getsize(os.path.join(state_path, f)))
+        n = len(files)
+        table = pa.table(
+            {
+                "run_id": pa.array([self.run_id] * n, pa.string()),
+                "algorithm": pa.array([self.algorithm] * n, pa.string()),
+                "superstep": pa.array([superstep] * n, pa.int32()),
+                "partition_file": pa.array(files, pa.string()),
+                "rows": pa.array(rows, pa.int64()),
+                "bytes": pa.array(nbytes, pa.int64()),
+            }
+        )
+        pdir = os.path.join(
+            self.checkpoint_dir, self.run_id, self.algorithm, "partition_metrics"
+        )
+        os.makedirs(pdir, exist_ok=True)
+        pq.write_table(
+            table, os.path.join(pdir, f"superstep-{superstep}-{uuid.uuid4().hex[:8]}.parquet")
+        )
+
     def metrics(self) -> DataFrame:
         return self.spark.read.parquet(
             _metrics_dir(self.checkpoint_dir, self.run_id, self.algorithm)
+        )
+
+    def partition_metrics(self) -> DataFrame:
+        return self.spark.read.parquet(
+            os.path.join(self.checkpoint_dir, self.run_id, self.algorithm, "partition_metrics")
         )
 
     # -- the loop --------------------------------------------------------------

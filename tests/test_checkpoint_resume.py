@@ -78,3 +78,15 @@ def test_resume_same_result(spark, tmp_path, graph):
     steps = sorted(r.superstep for r in m.select("superstep").collect())
     assert steps == list(range(resumed.final_superstep + 1))
     assert m.filter(F.col("l1_delta").isNull()).count() == 0
+
+    # per-partition lineage (north rule): every durable superstep has one
+    # row per state file, and their row counts sum to V
+    pm = drv.partition_metrics()
+    n_verts = verts.count()
+    per_step = {
+        r.superstep: r.total
+        for r in pm.groupBy("superstep").agg(F.sum("rows").alias("total")).collect()
+    }
+    for k in range(resumed.final_superstep + 1):
+        assert per_step.get(k) == n_verts, (k, per_step.get(k))
+    assert pm.filter(F.col("bytes") <= 0).count() == 0
