@@ -1,0 +1,89 @@
+"""Property-based tests (hypothesis): random small inputs vs the trusted
+Python oracles in reference_impl.py. Complements the fixed golden
+fixtures — these explore tie-breaks, session boundaries, singleton and
+disconnected shapes the fixtures don't."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from sharetrace_giraph_spark.operators import edges as E
+
+from .reference_impl import cc_py, derive_contacts_py
+
+_SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+# (conv 0-2, role a-d, ts 0..3600 at 60s grid — collisions and session
+# gaps both likely)
+turn_strategy = st.tuples(
+    st.integers(0, 2),
+    st.sampled_from(["a", "b", "c", "d"]),
+    st.integers(0, 60).map(lambda m: m * 60),
+)
+
+
+@given(st.lists(turn_strategy, min_size=1, max_size=40))
+@settings(**_SETTINGS)
+def test_derive_contacts_matches_python_oracle(spark, raw):
+    # assign dense turn_idx per conv in (ts, role) order — any total order
+    # works, sessionization only depends on the ts sequence
+    by_conv: dict = {}
+    for conv, role, ts in raw:
+        by_conv.setdefault(conv, []).append((ts, role))
+    rows = []
+    for conv, turns in by_conv.items():
+        for idx, (ts, role) in enumerate(sorted(turns)):
+            rows.append((f"c{conv}", idx, role, ts))
+
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, ts_s long"
+    ).withColumn("ts", F.timestamp_seconds("ts_s")).drop("ts_s")
+
+    got = {
+        (r.src, r.dst): sorted(
+            (int(o.time.timestamp()), o.duration_ms) for o in r.occurrences
+        )
+        for r in E.derive_contacts(
+            df, duration_threshold_s=300, session_gap_s=600
+        ).collect()
+    }
+    exp = derive_contacts_py(rows, duration_threshold_s=300, session_gap_s=600)
+    assert got == exp
+
+
+@given(st.sets(st.text(alphabet="abcdefg0123", min_size=1, max_size=6), min_size=1, max_size=40))
+@settings(**_SETTINGS)
+def test_dense_ids_are_rank_order(spark, keys):
+    df = spark.createDataFrame([(k,) for k in keys], "role string")
+    got = sorted((r.vertex_id, r.role) for r in E.dense_ids(df, "role").collect())
+    assert got == [(i, k) for i, k in enumerate(sorted(keys))]
+
+
+edge_strategy = st.tuples(st.integers(0, 9), st.integers(0, 9)).filter(lambda e: e[0] != e[1])
+
+
+@given(st.sets(edge_strategy, min_size=1, max_size=20))
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture])
+def test_connected_components_exact_on_random_graphs(spark, tmp_path_factory, raw_edges):
+    from sharetrace_giraph_spark.algorithms import connected_components
+
+    canon = {(min(u, v), max(u, v)) for u, v in raw_edges}
+    verts_py = sorted({v for e in canon for v in e})
+    edges = spark.createDataFrame(sorted(canon), "src long, dst long")
+    verts = spark.createDataFrame([(v,) for v in verts_py], "vertex_id long")
+
+    ckpt = str(tmp_path_factory.mktemp("cc-prop"))
+    res = connected_components(
+        spark, E.undirect(edges), verts, ckpt, run_id="p", max_supersteps=20, resume=False
+    )
+    got = {r.vertex_id: r.comp for r in res.state.collect()}
+    exp = cc_py(sorted(canon), verts_py)
+    assert got == exp
+    assert res.converged
