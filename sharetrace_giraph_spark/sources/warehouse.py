@@ -60,23 +60,43 @@ class ParquetWarehouse:
 
     # -- API ------------------------------------------------------------------
 
+    def _next_snap_id(self, table: str) -> int:
+        """Monotonic across truncations (tracked in the manifest), so a new
+        snapshot NEVER reuses an old path — a replace can therefore read
+        the table it is replacing (lazy Spark plans) without the write
+        clobbering its own input, exactly like Iceberg's immutable files +
+        metadata swap."""
+        manifest = self._read_manifest(table)
+        return int(manifest.get("next_snap_id", 0))
+
     def append(self, df: DataFrame, table: str) -> int:
         """Append rows as a new snapshot; returns the snapshot id."""
-        manifest = self._read_manifest(table)
-        snap_id = (manifest["snapshots"][-1]["id"] + 1) if manifest["snapshots"] else 0
+        snap_id = self._next_snap_id(table)
         part = os.path.join(self._tdir(table), f"snap-{snap_id:06d}")
         df.write.mode("overwrite").parquet(part)
+        manifest = self._read_manifest(table)
         manifest["snapshots"].append(
             {"id": snap_id, "path": part, "committed_at": time.time()}
         )
+        manifest["next_snap_id"] = snap_id + 1
         self._write_manifest(table, manifest)
         return snap_id
 
     def write_table(self, df: DataFrame, table: str) -> int:
-        """Replace the table (truncate + append as snapshot history)."""
-        manifest = {"snapshots": []}
+        """Replace the table: materialize the new snapshot to a FRESH path
+        first, then atomically swap the manifest to reference only it (the
+        old snapshots' files are left in place, exactly as Iceberg retains
+        files of expired snapshots until GC)."""
+        snap_id = self._next_snap_id(table)
+        part = os.path.join(self._tdir(table), f"snap-{snap_id:06d}")
+        df.write.mode("overwrite").parquet(part)
+        manifest = self._read_manifest(table)
+        manifest["snapshots"] = [
+            {"id": snap_id, "path": part, "committed_at": time.time()}
+        ]
+        manifest["next_snap_id"] = snap_id + 1
         self._write_manifest(table, manifest)
-        return self.append(df, table)
+        return snap_id
 
     def snapshot_ids(self, table: str) -> list[int]:
         return [s["id"] for s in self._read_manifest(table)["snapshots"]]

@@ -34,6 +34,31 @@ from ..operators import edges as E
 from ..sources.warehouse import ParquetWarehouse
 
 
+def merge_contacts(
+    existing: DataFrame | None,
+    new_contacts: DataFrame,
+    expiry_cutoff: dt.datetime | None = None,
+) -> DataFrame:
+    """A5 merge: union occurrence sets per (src, dst), dedup, sort, then
+    re-apply the F6 expiry — shared by the cursor pipeline and the
+    Structured Streaming sink."""
+    if existing is None:
+        merged = new_contacts
+    else:
+        merged = (
+            existing.unionByName(new_contacts)
+            .select("src", "dst", F.explode("occurrences").alias("o"))
+            .groupBy("src", "dst")
+            .agg(F.array_sort(F.collect_set("o")).alias("occurrences"))
+        )
+    if expiry_cutoff is not None:
+        cutoff = F.lit(expiry_cutoff)
+        merged = merged.withColumn(
+            "occurrences", F.filter("occurrences", lambda o: o["time"] >= cutoff)
+        ).where(F.size("occurrences") > 0)
+    return merged
+
+
 class IncrementalEdgePipeline:
     def __init__(
         self,
@@ -86,22 +111,7 @@ class IncrementalEdgePipeline:
         except ValueError:
             existing = None
 
-        if existing is None:
-            merged = new_contacts
-        else:
-            # A5 merge: union occurrence sets per (src, dst), dedup, sort,
-            # re-apply expiry (F6)
-            merged = (
-                existing.unionByName(new_contacts)
-                .select("src", "dst", F.explode("occurrences").alias("o"))
-                .groupBy("src", "dst")
-                .agg(F.array_sort(F.collect_set("o")).alias("occurrences"))
-            )
-            if self.expiry_cutoff is not None:
-                cutoff = F.lit(self.expiry_cutoff)
-                merged = merged.withColumn(
-                    "occurrences", F.filter("occurrences", lambda o: o["time"] >= cutoff)
-                ).where(F.size("occurrences") > 0)
+        merged = merge_contacts(existing, new_contacts, self.expiry_cutoff)
 
         n_pairs = merged.count()
         self.wh.write_table(merged, self.contacts_table)
