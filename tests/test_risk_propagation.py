@@ -69,3 +69,52 @@ def test_risk_propagation_semantics_sanity(spark, ckpt, fixture_inputs):
     out = {r.vertex_id: r.value for r in final_scores(res.state).collect()}
     assert out["2"] == 1.0
     assert out["4"] == 0.7
+
+
+def test_risk_propagation_medium_graph_matches_oracle(spark, ckpt):
+    """Fidelity beyond the 4-vertex fixture: a 24-actor community graph
+    with multi-occurrence contacts and hub bridging, exact vs the dict
+    oracle (values bit-equal — same multiplication path both sides)."""
+    t = datagen.generate_transcripts(
+        spark, n_convs=60, turns_per_conv=16, n_actors=24, n_communities=3,
+        n_hubs=2, seed=77,
+    )
+    contacts = E.derive_contacts(t).persist()
+    contacts_py = {
+        (r.src, r.dst): [(int(o.time.timestamp()), o.duration_ms) for o in r.occurrences]
+        for r in contacts.collect()
+    }
+    actors = sorted({a for pair in contacts_py for a in pair})
+    # deterministic synthetic score histories, generated ONCE python-side
+    scores_py = {
+        a: [
+            (datagen.FIXTURE_DAY0 + (i + 3) * 43200, round(((i * 37 + j * 11) % 100) / 100.0, 2))
+            for j, i in enumerate([int(a[-2:]) % 7, int(a[-2:]) % 7 + 2])
+        ]
+        for a in actors
+    }
+    rows = [
+        (a, ut, v) for a, hist in scores_py.items() for ut, v in hist
+    ]
+    scores = spark.createDataFrame(
+        rows, "id string, update_time long, value double"
+    ).selectExpr("id", "timestamp_seconds(update_time) AS update_time", "value")
+
+    res = risk_propagation(
+        spark, contacts, scores, ckpt, run_id="rp-med", transmission_rate=0.75,
+        max_supersteps=5,
+    )
+    exp_state, exp_out = risk_prop_py(contacts_py, scores_py, transmission_rate=0.75)
+
+    got_out = {
+        r.vertex_id: (r.value, int(r.update_time.timestamp()))
+        for r in final_scores(res.state).collect()
+    }
+    assert got_out == {a: (v, ut) for a, (v, ut) in exp_out.items()}
+
+    got_state = {
+        r.vertex_id: {(int(s.update_time.timestamp()), s.value, s.origin_id) for s in r.scores}
+        for r in res.state.collect()
+    }
+    assert got_state == exp_state
+    contacts.unpersist()
