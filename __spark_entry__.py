@@ -48,12 +48,20 @@ def transcripts_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LAST_CONTACTS: list = []  # last persisted contacts frame, released on next _graph()
+
+
 def _graph(spark: SparkSession, sf_dir: str):
     from sharetrace_giraph_spark.operators import edges as E
 
     t = transcripts_from_events(spark, sf_dir)
-    # persisted: vertex_ids / encode_edges / the algorithm each re-evaluate it
+    # persisted: vertex_ids / encode_edges / the algorithm each re-evaluate it.
+    # Only one graph query's cache lives at a time: release the previous one
+    # (five graph queries in a session would otherwise pin five tables).
+    while _LAST_CONTACTS:
+        _LAST_CONTACTS.pop().unpersist()
     contacts = E.derive_contacts(t, duration_threshold_s=0, session_gap_s=6 * 3600).persist()
+    _LAST_CONTACTS.append(contacts)
     verts = E.vertex_ids(contacts)
     enc = E.encode_edges(contacts, verts)
     return contacts, verts, enc
@@ -120,10 +128,18 @@ def q_graph_risk_prop(spark, sf_dir):
 
     contacts, verts, enc = _graph(spark, sf_dir)
     ev = _t(spark, sf_dir, "events")
-    # deterministic synthetic risk scores: per user, value = pmod(user hash)
-    scores = ev.groupBy(F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("id")).agg(
-        F.max("ts").alias("update_time"),
-        F.round(F.pmod(F.xxhash64(F.col("user_id")), F.lit(1000)) / 1000.0, 3).alias("value"),
+    # deterministic synthetic risk scores: per user, value = pmod(user hash).
+    # group by the raw key and derive the prefixed id post-agg (grouping by
+    # the concat expression while referencing bare user_id in the agg is a
+    # MISSING_AGGREGATION AnalysisException).
+    scores = (
+        ev.groupBy("user_id")
+        .agg(F.max("ts").alias("update_time"))
+        .select(
+            F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("id"),
+            "update_time",
+            F.round(F.pmod(F.xxhash64(F.col("user_id")), F.lit(1000)) / 1000.0, 3).alias("value"),
+        )
     )
     res = risk_propagation(spark, contacts, scores, _ckpt(), run_id="q",
                            transmission_rate=0.8, max_supersteps=5)
