@@ -140,7 +140,8 @@ def run_relational_bench(spark, sf_dir: str) -> dict:
 
 
 def run_edges_bench(spark, cores: int, n_edges: int, ckpt: str,
-                    partitions: int | None = None) -> dict:
+                    partitions: int | None = None,
+                    checkpoint_every: int = 2) -> dict:
     """Superstep-engine throughput on a directly-synthesized edge table —
     the workload for the N-vs-4N scaling evidence (compute-bound: the
     transcript-derivation stage is measured separately in the sf bench).
@@ -167,18 +168,18 @@ def run_edges_bench(spark, cores: int, n_edges: int, ckpt: str,
     out: dict = {"_n_edges_directed": n_edges, "_n_vertices": n_vertices}
 
     def steady(metrics: list[dict], warmup: int = 2) -> float:
-        """MEDIAN seconds/superstep after warmup (first supersteps carry
-        JIT + cache warmup; median resists GC-pause outliers)."""
-        import statistics
-
+        """MEAN seconds/superstep after warmup (first supersteps carry
+        JIT + cache warmup). Mean, not median: with checkpoint_every=k>1
+        supersteps alternate between cheap in-memory and durable parquet
+        checkpoints, and the mean is what amortized throughput actually is."""
         rows = metrics[warmup:] if len(metrics) > warmup + 1 else metrics
-        return statistics.median(m["wall_ms"] for m in rows) / 1000.0
+        return sum(m["wall_ms"] for m in rows) / len(rows) / 1000.0
 
     t0 = time.monotonic()
     pr = pagerank(
         spark, edges, verts, ckpt, run_id="scal-pr",
         tolerance=0.0, max_supersteps=12, resume=False, handle_dangling=False,
-        num_partitions=partitions,
+        num_partitions=partitions, checkpoint_every=checkpoint_every,
     )
     out["pagerank_12_supersteps"] = round(time.monotonic() - t0, 3)
     out["_pr_steps_ms"] = [m["wall_ms"] for m in pr.metrics]
@@ -189,13 +190,15 @@ def run_edges_bench(spark, cores: int, n_edges: int, ckpt: str,
     t0 = time.monotonic()
     cc = connected_components(
         spark, edges, verts, ckpt, run_id="scal-cc", max_supersteps=12, resume=False,
-        num_partitions=partitions,
+        num_partitions=partitions, checkpoint_every=checkpoint_every,
     )
     # frontier CC's supersteps shrink geometrically, so a per-superstep
     # "steady state" would measure the near-empty tail; the honest
     # throughput is whole-job: nominal edges x supersteps / total wall
     cc_wall = time.monotonic() - t0
-    out["cc_supersteps"] = cc.supersteps_run
+    # superstep COUNT is metadata, not seconds — keep it out of the
+    # public dict so the headline wall-time sum stays a sum of times
+    out["_cc_supersteps"] = cc.supersteps_run
     out["cc_wall"] = round(cc_wall, 3)
     out["_cc_supersteps_per_sec"] = round(cc.supersteps_run / cc_wall, 4)
     out["_cc_edges_per_sec"] = round(n_edges * cc.supersteps_run / cc_wall, 1)
@@ -213,8 +216,12 @@ def main() -> None:
     ap.add_argument("--partitions", type=int, default=None,
                     help="pin data/shuffle partitions independently of cores "
                          "(scaling protocol: same partitioning at every level)")
+    ap.add_argument("--checkpoint-every", type=int, default=2,
+                    help="durable checkpoint cadence for the edges-bench loop "
+                         "(Giraph checkpointFrequency analog; in-between "
+                         "supersteps truncate lineage via in-memory persist)")
     ap.add_argument("--scaling", action="store_true",
-                    help="run at local[2]/local[8]/local[32], write BENCH.md")
+                    help="run at local[1]/local[4]/local[8]/local[32], write BENCH.md")
     args = ap.parse_args()
 
     if args.scaling:
@@ -234,7 +241,8 @@ def main() -> None:
         queries: dict = {}
         if args.edges_bench:
             queries.update(
-                run_edges_bench(spark, args.cores, args.n_edges, ckpt, args.partitions)
+                run_edges_bench(spark, args.cores, args.n_edges, ckpt, args.partitions,
+                                checkpoint_every=args.checkpoint_every)
             )
         else:
             queries.update(run_graph_bench(spark, sf, args.cores, ckpt))

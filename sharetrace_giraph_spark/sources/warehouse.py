@@ -65,9 +65,15 @@ class ParquetWarehouse:
         snapshot NEVER reuses an old path — a replace can therefore read
         the table it is replacing (lazy Spark plans) without the write
         clobbering its own input, exactly like Iceberg's immutable files +
-        metadata swap."""
+        metadata swap.
+
+        Manifests written before ``next_snap_id`` existed lack the key but
+        may already hold snapshots — fall back to ``last id + 1`` there, so
+        the next write never reuses (and overwrites) a live snapshot path."""
         manifest = self._read_manifest(table)
-        return int(manifest.get("next_snap_id", 0))
+        snaps = manifest.get("snapshots", [])
+        legacy_next = (snaps[-1]["id"] + 1) if snaps else 0
+        return int(manifest.get("next_snap_id", legacy_next))
 
     def append(self, df: DataFrame, table: str) -> int:
         """Append rows as a new snapshot; returns the snapshot id."""
@@ -122,17 +128,24 @@ class ParquetWarehouse:
         return self.spark.read.parquet(*[s["path"] for s in new]), latest
 
 
+def _iceberg_available(spark: SparkSession) -> bool:
+    """True iff the Iceberg runtime class is actually loadable. NOTE:
+    ``spark._jvm.org.apache.iceberg.Table`` is NOT a valid probe — py4j
+    returns a truthy JavaPackage for missing classes instead of raising —
+    so we ask the JVM classloader directly."""
+    try:
+        spark._jvm.java.lang.Class.forName("org.apache.iceberg.Table")  # noqa: SLF001
+        return True
+    except Exception:
+        return False
+
+
 def open_warehouse(spark: SparkSession, root: str):
     """Return the best available warehouse implementation for ``root``.
-    Iceberg if a catalog + runtime are configured; parquet-manifest
-    otherwise (this container)."""
-    try:  # Iceberg availability probe — cheap, no-op when absent
-        spark._jvm.org.apache.iceberg.Table  # noqa: SLF001
-        has_iceberg = True
-    except Exception:
-        has_iceberg = False
-    if has_iceberg:  # pragma: no cover - not reachable in this container
-        from .iceberg import IcebergWarehouse  # type: ignore
+    Iceberg if the runtime is on the classpath; parquet-manifest otherwise
+    (this container). Both expose the same API, so call sites never care."""
+    if _iceberg_available(spark):
+        from .iceberg import IcebergWarehouse
 
         return IcebergWarehouse(spark, root)
     return ParquetWarehouse(spark, root)
