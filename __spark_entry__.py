@@ -95,23 +95,46 @@ def q_graph_pagerank(spark, sf_dir):
 
 
 def q_graph_cc(spark, sf_dir):
+    """Component labels reported in ROLE space (comp_role = the
+    lexicographically smallest role in the component — dense ids are
+    assigned by role order, so min encoded id == min role), which lets
+    DuckDB replay the whole thing as a recursive CTE."""
     from sharetrace_giraph_spark.algorithms import connected_components
     from sharetrace_giraph_spark.operators import edges as E
 
     contacts, verts, enc = _graph(spark, sf_dir)
     res = connected_components(spark, E.undirect(enc), verts, _ckpt(),
                                run_id="q", max_supersteps=50)
-    return res.state.join(verts, "vertex_id").select("role", "comp").orderBy("role")
+    comp_roles = verts.select(
+        F.col("vertex_id").alias("comp"), F.col("role").alias("comp_role")
+    )
+    return (
+        res.state.join(verts, "vertex_id")
+        .join(comp_roles, "comp")
+        .select("role", "comp_role")
+        .orderBy("role")
+    )
 
 
 def q_graph_lpa(spark, sf_dir):
+    """Labels reported in ROLE space (see q_graph_cc): the deterministic
+    (count desc, label asc) tie-break is order-isomorphic between encoded
+    ids and roles, so DuckDB can replay the 5 synchronous steps exactly."""
     from sharetrace_giraph_spark.algorithms import label_propagation
     from sharetrace_giraph_spark.operators import edges as E
 
     contacts, verts, enc = _graph(spark, sf_dir)
     res = label_propagation(spark, E.undirect(enc), verts, _ckpt(),
                             run_id="q", max_supersteps=5)
-    return res.state.join(verts, "vertex_id").select("role", "label").orderBy("role")
+    label_roles = verts.select(
+        F.col("vertex_id").alias("label"), F.col("role").alias("label_role")
+    )
+    return (
+        res.state.join(verts, "vertex_id")
+        .join(label_roles, "label")
+        .select("role", "label_role")
+        .orderBy("role")
+    )
 
 
 def q_graph_triangles(spark, sf_dir):
@@ -128,21 +151,26 @@ def q_graph_risk_prop(spark, sf_dir):
 
     contacts, verts, enc = _graph(spark, sf_dir)
     ev = _t(spark, sf_dir, "events")
-    # deterministic synthetic risk scores: per user, value = pmod(user hash).
-    # group by the raw key and derive the prefixed id post-agg (grouping by
-    # the concat expression while referencing bare user_id in the agg is a
-    # MISSING_AGGREGATION AnalysisException).
+    # deterministic synthetic risk scores: value = (user_id % 1000)/1000
+    # (DuckDB-replicable, unlike xxhash64). group by the raw key and derive
+    # the prefixed id post-agg (grouping by the concat expression while
+    # referencing bare user_id in the agg is MISSING_AGGREGATION).
+    # update_time = the user's FIRST event: scores must be strictly older
+    # than a contact's latest occurrence to traverse it (F3), so max(ts)
+    # would gate nearly every message and leave the kernel unexercised
     scores = (
         ev.groupBy("user_id")
-        .agg(F.max("ts").alias("update_time"))
+        .agg(F.min("ts").alias("update_time"))
         .select(
             F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("id"),
             "update_time",
-            F.round(F.pmod(F.xxhash64(F.col("user_id")), F.lit(1000)) / 1000.0, 3).alias("value"),
+            F.round(F.pmod(F.col("user_id"), F.lit(1000)) / 1000.0, 3).alias("value"),
         )
     )
+    # tolerance=0.0: always run the full 5 supersteps so the unrolled
+    # DuckDB oracle replays the identical iteration count
     res = risk_propagation(spark, contacts, scores, _ckpt(), run_id="q",
-                           transmission_rate=0.8, max_supersteps=5)
+                           transmission_rate=0.8, max_supersteps=5, tolerance=0.0)
     return final_scores(res.state).select(
         F.col("vertex_id").alias("role"),
         F.round("value", 9).alias("value"),
@@ -725,8 +753,201 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+# Shared DuckDB CTE chain replaying the transcript→contact edge derivation
+# (sessionize → span agg → blocked self-join → dedup) exactly as
+# transcripts_from_events + operators/edges.derive_contacts(threshold=0,
+# gap=6h) compute it; graph oracles build on edges_c/edges_u/verts.
+# NOTE: no leading WITH — callers prepend "WITH " or "WITH RECURSIVE ".
+_EDGE_CTES = """
+    tr AS (
+        SELECT event_type || '-' ||
+                   CAST(CAST(floor(epoch(ts) / 86400) AS BIGINT) AS VARCHAR) AS conv_id,
+               'u' || CAST(user_id AS VARCHAR) AS role,
+               ts, event_id
+        FROM events
+    ), ordered AS (
+        SELECT conv_id, role, ts,
+               row_number() OVER (PARTITION BY conv_id ORDER BY ts, event_id) - 1
+                   AS turn_idx
+        FROM tr
+    ), gaps AS (
+        SELECT conv_id, role, ts, turn_idx,
+               floor(epoch(ts)) - lag(floor(epoch(ts))) OVER
+                   (PARTITION BY conv_id ORDER BY ts, turn_idx) AS gap
+        FROM ordered
+    ), sess AS (
+        SELECT conv_id, role, ts,
+               sum(CASE WHEN gap IS NULL OR gap <= 21600 THEN 0 ELSE 1 END)
+                   OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
+                         ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM gaps
+    ), spans AS (
+        SELECT conv_id, session_id, role,
+               min(ts) AS first_ts, max(ts) AS last_ts
+        FROM sess GROUP BY conv_id, session_id, role
+    ), pairs AS (
+        SELECT a.role AS src, b.role AS dst,
+               greatest(a.first_ts, b.first_ts) AS start,
+               floor(epoch(least(a.last_ts, b.last_ts)))
+                   - floor(epoch(greatest(a.first_ts, b.first_ts))) AS dur_s
+        FROM spans a JOIN spans b
+          ON a.conv_id = b.conv_id AND a.session_id = b.session_id
+         AND a.role < b.role
+    ), dedup AS (
+        SELECT DISTINCT src, dst, start, dur_s FROM pairs WHERE dur_s >= 0
+    ), edges_c AS (
+        SELECT DISTINCT src, dst FROM dedup
+    ), edges_u AS (
+        SELECT src, dst FROM edges_c
+        UNION ALL
+        SELECT dst AS src, src AS dst FROM edges_c
+    ), verts AS (
+        SELECT DISTINCT src AS role FROM edges_u
+    )
+"""
+
+
+def _pagerank_oracle(supersteps: int = 5, damping: float = 0.85) -> str:
+    """Fixed-superstep damped PageRank unrolled to CTEs r0..rK (exact:
+    every vertex of the undirected contact graph has degree >= 1, so there
+    is no dangling mass and no missing-contribution branch)."""
+    steps = []
+    for k in range(1, supersteps + 1):
+        steps.append(f"""
+    r{k} AS (
+        SELECT e.dst AS role,
+               (1.0 - {damping}) / (SELECT n FROM nv)
+                   + {damping} * sum(r.pr_rank / d.deg) AS pr_rank
+        FROM edges_u e
+        JOIN r{k - 1} r ON e.src = r.role
+        JOIN deg d ON d.v = e.src
+        GROUP BY e.dst
+    )""")
+    return f"""
+        WITH {_EDGE_CTES},
+        deg AS (SELECT src AS v, CAST(count(*) AS DOUBLE) AS deg
+                FROM edges_u GROUP BY src),
+        nv AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts),
+        r0 AS (SELECT role, 1.0 / (SELECT n FROM nv) AS pr_rank FROM verts),
+        {",".join(steps)}
+        SELECT role, round(pr_rank, 9) AS rank
+        FROM r{supersteps} ORDER BY role
+    """
+
+
+def _lpa_oracle(supersteps: int = 5) -> str:
+    """Synchronous deterministic LPA unrolled to CTEs l0..lK: per step each
+    vertex adopts the neighbor-label mode under the (count desc, label asc)
+    tie-break — order-isomorphic to the engine's encoded-id tie-break
+    because dense ids are assigned in role order."""
+    steps = []
+    for k in range(1, supersteps + 1):
+        steps.append(f"""
+    l{k} AS (
+        SELECT mdst AS role, nbr_label AS label FROM (
+            SELECT e.dst AS mdst, r.label AS nbr_label, count(*) AS cnt,
+                   row_number() OVER (PARTITION BY e.dst
+                       ORDER BY count(*) DESC, r.label ASC) AS rn
+            FROM edges_u e JOIN l{k - 1} r ON e.src = r.role
+            GROUP BY e.dst, r.label
+        ) WHERE rn = 1
+    )""")
+    return f"""
+        WITH {_EDGE_CTES},
+        l0 AS (SELECT role, role AS label FROM verts),
+        {",".join(steps)}
+        SELECT role, label AS label_role FROM l{supersteps} ORDER BY role
+    """
+
+
+def _risk_prop_oracle(supersteps: int = 5, rate: float = 0.8) -> str:
+    """The BP kernel unrolled to score-set CTEs s0..sK. Each step: per
+    directed contact edge (u,v), relay the max surviving score of u under
+    the (update_time, value, origin) natural order — excluding scores that
+    originated at v (F5 no-echo) and scores not strictly older than the
+    contact's latest occurrence (F3) — scaled by the transmission rate;
+    the receiver set-unions the relays (A2). Output = per-vertex max under
+    the OUTPUT comparator (value, update_time, origin)."""
+    steps = []
+    for k in range(1, supersteps + 1):
+        steps.append(f"""
+    m{k} AS (
+        SELECT vertex_id, update_time, value * {rate} AS value, origin FROM (
+            SELECT e.v AS vertex_id, s.update_time, s.value, s.origin,
+                   row_number() OVER (PARTITION BY e.u, e.v
+                       ORDER BY s.update_time DESC, s.value DESC, s.origin DESC) AS rn
+            FROM cedges e JOIN s{k - 1} s ON s.vertex_id = e.u
+            WHERE s.origin <> e.v AND s.update_time < e.cutoff_ts
+        ) WHERE rn = 1
+    ), s{k} AS (
+        SELECT DISTINCT vertex_id, update_time, value, origin FROM (
+            SELECT * FROM s{k - 1} UNION ALL SELECT * FROM m{k}
+        )
+    )""")
+    return f"""
+        WITH {_EDGE_CTES},
+        cd AS (SELECT src, dst, max(start) AS cutoff_ts FROM dedup GROUP BY src, dst),
+        cedges AS (
+            SELECT src AS u, dst AS v, cutoff_ts FROM cd
+            UNION ALL
+            SELECT dst AS u, src AS v, cutoff_ts FROM cd
+        ),
+        s0 AS (
+            SELECT 'u' || CAST(user_id AS VARCHAR) AS vertex_id,
+                   min(ts) AS update_time,
+                   round(CAST(user_id % 1000 AS DOUBLE) / 1000.0, 3) AS value,
+                   'u' || CAST(user_id AS VARCHAR) AS origin
+            FROM events GROUP BY user_id
+        ),
+        {",".join(steps)}
+        SELECT vertex_id AS role, round(value, 9) AS value,
+               CAST(floor(epoch(update_time)) AS BIGINT) AS update_s
+        FROM (
+            SELECT vertex_id, value, update_time,
+                   row_number() OVER (PARTITION BY vertex_id
+                       ORDER BY value DESC, update_time DESC, origin DESC) AS rn
+            FROM s{supersteps}
+        ) WHERE rn = 1 ORDER BY role
+    """
+
+
+_CC_ORACLE = f"""
+    WITH RECURSIVE {_EDGE_CTES},
+    reach(v, m) AS (
+        SELECT role, role FROM verts
+        UNION
+        SELECT e.dst, r.m FROM reach r JOIN edges_u e ON e.src = r.v
+    )
+    SELECT v AS role, min(m) AS comp_role FROM reach GROUP BY v ORDER BY role
+"""
+
+_TRIANGLES_ORACLE = f"""
+    WITH {_EDGE_CTES},
+    tri AS (
+        SELECT a.src AS x, a.dst AS y, b.dst AS z
+        FROM edges_c a
+        JOIN edges_c b ON b.src = a.dst
+        JOIN edges_c c ON c.src = a.src AND c.dst = b.dst
+    ),
+    pv AS (
+        SELECT v, count(*) AS n FROM (
+            SELECT x AS v FROM tri
+            UNION ALL SELECT y AS v FROM tri
+            UNION ALL SELECT z AS v FROM tri
+        ) GROUP BY v
+    )
+    SELECT verts.role, CAST(coalesce(pv.n, 0) AS BIGINT) AS n_triangles
+    FROM verts LEFT JOIN pv ON verts.role = pv.v ORDER BY role
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "graph_pagerank": _pagerank_oracle(),
+        "graph_cc": _CC_ORACLE,
+        "graph_lpa": _lpa_oracle(),
+        "graph_triangles": _TRIANGLES_ORACLE,
+        "graph_risk_prop": _risk_prop_oracle(),
         "expiry_filter": """
             SELECT l_returnflag,
                    CAST(count(*) AS BIGINT) AS n,
@@ -893,90 +1114,17 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY ROLLUP (l_returnflag, l_linestatus)
             ORDER BY returnflag, linestatus
         """,
-        "contacts_summary": """
-            WITH tr AS (
-                SELECT event_type || '-' ||
-                           CAST(CAST(floor(epoch(ts) / 86400) AS BIGINT) AS VARCHAR) AS conv_id,
-                       'u' || CAST(user_id AS VARCHAR) AS role,
-                       ts, event_id
-                FROM events
-            ), ordered AS (
-                SELECT conv_id, role, ts,
-                       row_number() OVER (PARTITION BY conv_id ORDER BY ts, event_id) - 1
-                           AS turn_idx
-                FROM tr
-            ), gaps AS (
-                SELECT conv_id, role, ts, turn_idx,
-                       floor(epoch(ts)) - lag(floor(epoch(ts))) OVER
-                           (PARTITION BY conv_id ORDER BY ts, turn_idx) AS gap
-                FROM ordered
-            ), sess AS (
-                SELECT conv_id, role, ts,
-                       sum(CASE WHEN gap IS NULL OR gap <= 21600 THEN 0 ELSE 1 END)
-                           OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
-                                 ROWS UNBOUNDED PRECEDING) AS session_id
-                FROM gaps
-            ), spans AS (
-                SELECT conv_id, session_id, role,
-                       min(ts) AS first_ts, max(ts) AS last_ts
-                FROM sess GROUP BY conv_id, session_id, role
-            ), pairs AS (
-                SELECT a.role AS src, b.role AS dst,
-                       greatest(a.first_ts, b.first_ts) AS start,
-                       floor(epoch(least(a.last_ts, b.last_ts)))
-                           - floor(epoch(greatest(a.first_ts, b.first_ts))) AS dur_s
-                FROM spans a JOIN spans b
-                  ON a.conv_id = b.conv_id AND a.session_id = b.session_id
-                 AND a.role < b.role
-            ), dedup AS (
-                SELECT DISTINCT src, dst, start, dur_s FROM pairs WHERE dur_s >= 0
-            )
+        "contacts_summary": f"""
+            WITH {_EDGE_CTES}
             SELECT src, dst,
                    CAST(count(*) AS INT) AS n_occurrences,
                    CAST(sum(dur_s) * 1000 AS BIGINT) AS total_duration_ms
             FROM dedup GROUP BY src, dst ORDER BY src, dst
         """,
-        "degree_census": """
-            WITH tr AS (
-                SELECT event_type || '-' ||
-                           CAST(CAST(floor(epoch(ts) / 86400) AS BIGINT) AS VARCHAR) AS conv_id,
-                       'u' || CAST(user_id AS VARCHAR) AS role,
-                       ts, event_id
-                FROM events
-            ), ordered AS (
-                SELECT conv_id, role, ts,
-                       row_number() OVER (PARTITION BY conv_id ORDER BY ts, event_id) - 1
-                           AS turn_idx
-                FROM tr
-            ), gaps AS (
-                SELECT conv_id, role, ts, turn_idx,
-                       floor(epoch(ts)) - lag(floor(epoch(ts))) OVER
-                           (PARTITION BY conv_id ORDER BY ts, turn_idx) AS gap
-                FROM ordered
-            ), sess AS (
-                SELECT conv_id, role, ts,
-                       sum(CASE WHEN gap IS NULL OR gap <= 21600 THEN 0 ELSE 1 END)
-                           OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
-                                 ROWS UNBOUNDED PRECEDING) AS session_id
-                FROM gaps
-            ), spans AS (
-                SELECT conv_id, session_id, role,
-                       min(ts) AS first_ts, max(ts) AS last_ts
-                FROM sess GROUP BY conv_id, session_id, role
-            ), pairs AS (
-                SELECT a.role AS src, b.role AS dst
-                FROM spans a JOIN spans b
-                  ON a.conv_id = b.conv_id AND a.session_id = b.session_id
-                 AND a.role < b.role
-                WHERE floor(epoch(least(a.last_ts, b.last_ts)))
-                      >= floor(epoch(greatest(a.first_ts, b.first_ts)))
-            ), und AS (
-                SELECT DISTINCT src, dst FROM pairs
-                UNION ALL
-                SELECT DISTINCT dst AS src, src AS dst FROM pairs
-            )
+        "degree_census": f"""
+            WITH {_EDGE_CTES}
             SELECT src AS role, CAST(count(*) AS INT) AS degree
-            FROM und GROUP BY src ORDER BY role
+            FROM edges_u GROUP BY src ORDER BY role
         """,
         "dedup_exact": """
             SELECT md5(text) AS text_hash,
