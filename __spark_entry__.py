@@ -633,9 +633,10 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
 
 
 def q_dedup_minhash_lsh(spark, sf_dir):
-    """MinHash+LSH near-dup candidates (8 hashes, 4 bands) verified by
-    exact Jaccard — rows-only here (pytest verifies candidates ⊇ truly
-    similar pairs against brute force)."""
+    """MinHash+LSH near-dup (8 md5 min-hashes, 4 bands, exact-Jaccard
+    verify) — every stage is md5-based and deterministic, so DuckDB
+    replays the whole pipeline as the oracle (pytest additionally checks
+    candidates ⊇ truly-similar pairs vs brute force)."""
     from sharetrace_giraph_spark.operators.dedup import minhash_near_duplicates
 
     d = _t(spark, sf_dir, "documents")
@@ -643,8 +644,9 @@ def q_dedup_minhash_lsh(spark, sf_dir):
 
 
 def q_dedup_simhash(spark, sf_dir):
-    """SimHash near-dup (vectorized pandas-UDF hash; Hamming <= 3 within
-    16-bit prefix buckets) — rows-only (hash impl is engine-side)."""
+    """SimHash near-dup: 60-bit JVM-side signature (md5-derived token
+    hashes, bit-vote aggregates — zero Python), Hamming <= 3 within
+    16-bit prefix buckets. DuckDB replays the identical bit arithmetic."""
     from sharetrace_giraph_spark.operators.dedup import simhash_near_duplicates
 
     d = _t(spark, sf_dir, "documents")
@@ -673,12 +675,15 @@ def q_sim_topk_ivf(spark, sf_dir):
 
 
 def q_embedding_near_dup(spark, sf_dir):
-    """Embedding near-dup pairs (cosine >= 0.9) within IVF buckets —
-    rows-only (bucketed recall checked in pytest vs brute force)."""
+    """Embedding near-dup pairs within IVF buckets (ceil(sqrt(N))
+    centroids). Threshold 0.28 ≈ the synthetic corpus's p99 pairwise
+    cosine — chosen to yield a NON-EMPTY deterministic result (round 1
+    used 0.9 against a corpus whose max pairwise cosine is 0.51, making
+    the evidence vacuous). DuckDB replays bucket assignment + scan."""
     from sharetrace_giraph_spark.operators.similarity import embedding_near_duplicates
 
     e = _t(spark, sf_dir, "embeddings")
-    return embedding_near_duplicates(e, threshold=0.9).orderBy("a", "b")
+    return embedding_near_duplicates(e, threshold=0.28).orderBy("a", "b")
 
 
 def q_multimodal_meta(spark, sf_dir):
@@ -911,6 +916,119 @@ def _risk_prop_oracle(supersteps: int = 5, rate: float = 0.8) -> str:
     """
 
 
+def _simhash_oracle(prefix_bits: int = 16, max_hamming: int = 3) -> str:
+    """Replays operators/dedup.simhash_signatures bit-for-bit: 60-bit
+    token hash = first 15 md5 hex chars, per-bit majority vote as 60
+    sum((h >> b) & 1) aggregates, prefix-bucketed self-join, Hamming
+    verify via bit_count(xor)."""
+    from sharetrace_giraph_spark.operators.dedup import SIMHASH_BITS
+
+    vote_cols = ",\n               ".join(
+        f"sum((h >> {b}) & 1) AS b{b}" for b in range(SIMHASH_BITS)
+    )
+    assemble = "\n                 + ".join(
+        f"CASE WHEN 2 * b{b} > n THEN {1 << b} ELSE 0 END"
+        for b in range(SIMHASH_BITS)
+    )
+    return f"""
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+            FROM documents
+        ), tok AS (
+            SELECT doc_id, unnest(toks) AS tok FROM t
+        ), th AS (
+            SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM tok
+        ), votes AS (
+            SELECT doc_id, count(*) AS n,
+               {vote_cols}
+            FROM th GROUP BY doc_id
+        ), sig AS (
+            SELECT doc_id,
+                   CAST({assemble} AS BIGINT) AS sh
+            FROM votes
+        ), bk AS (
+            SELECT doc_id, sh, sh >> {SIMHASH_BITS - prefix_bits} AS bucket FROM sig
+        )
+        SELECT a, b, hamming FROM (
+            SELECT l.doc_id AS a, r.doc_id AS b,
+                   CAST(bit_count(xor(l.sh, r.sh)) AS INT) AS hamming
+            FROM bk l JOIN bk r ON l.bucket = r.bucket AND l.doc_id < r.doc_id
+        ) WHERE hamming <= {max_hamming} ORDER BY a, b
+    """
+
+
+_MINHASH_LSH_ORACLE = """
+    WITH g AS (
+        SELECT doc_id,
+               CASE WHEN len(toks) >= 3 THEN
+                   list_distinct(list_transform(
+                       generate_series(1, len(toks) - 2),
+                       i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
+               ELSE [] END AS grams
+        FROM (SELECT doc_id,
+                     list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+              FROM documents)
+    ), gr AS (
+        SELECT doc_id, unnest(grams) AS shingle FROM g
+    ), sig AS (
+        SELECT doc_id,
+               min(md5(shingle || '#0')) AS mh0, min(md5(shingle || '#1')) AS mh1,
+               min(md5(shingle || '#2')) AS mh2, min(md5(shingle || '#3')) AS mh3,
+               min(md5(shingle || '#4')) AS mh4, min(md5(shingle || '#5')) AS mh5,
+               min(md5(shingle || '#6')) AS mh6, min(md5(shingle || '#7')) AS mh7
+        FROM gr GROUP BY doc_id
+    ), bk AS (
+        SELECT doc_id, 0 AS band, md5(concat_ws('|', mh0, mh1)) AS key FROM sig
+        UNION ALL SELECT doc_id, 1, md5(concat_ws('|', mh2, mh3)) FROM sig
+        UNION ALL SELECT doc_id, 2, md5(concat_ws('|', mh4, mh5)) FROM sig
+        UNION ALL SELECT doc_id, 3, md5(concat_ws('|', mh6, mh7)) FROM sig
+    ), cand AS (
+        SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+        FROM bk l JOIN bk r
+          ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+    )
+    SELECT a, b, jaccard FROM (
+        SELECT c.a, c.b,
+               round(CASE WHEN len(list_distinct(list_concat(ga.grams, gb.grams))) > 0
+                     THEN CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
+                          / len(list_distinct(list_concat(ga.grams, gb.grams)))
+                     ELSE 0.0 END, 6) AS jaccard
+        FROM cand c
+        JOIN g ga ON ga.doc_id = c.a
+        JOIN g gb ON gb.doc_id = c.b
+    ) WHERE jaccard >= 0.2 ORDER BY a, b
+"""
+
+_EMBEDDING_NEAR_DUP_ORACLE = """
+    WITH emb AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
+    ), nc AS (
+        SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS c FROM emb
+    ), cent AS (
+        SELECT vec_id AS centroid_id, embedding AS cvec FROM (
+            SELECT vec_id, embedding,
+                   row_number() OVER (ORDER BY vec_id) AS rn
+            FROM emb
+        ) WHERE rn <= (SELECT c FROM nc)
+    ), assigned AS (
+        SELECT vec_id, embedding, centroid_id AS bucket FROM (
+            SELECT e.vec_id, e.embedding, c.centroid_id,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY list_cosine_similarity(e.embedding, c.cvec) DESC,
+                                c.centroid_id ASC) AS rn
+            FROM emb e CROSS JOIN cent c
+        ) WHERE rn = 1
+    )
+    SELECT a, b, cos_sim FROM (
+        SELECT l.vec_id AS a, r.vec_id AS b,
+               round(list_cosine_similarity(l.embedding, r.embedding), 6) AS cos_sim
+        FROM assigned l JOIN assigned r
+          ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+    ) WHERE cos_sim >= 0.28 ORDER BY a, b
+"""
+
+
 _CC_ORACLE = f"""
     WITH RECURSIVE {_EDGE_CTES},
     reach(v, m) AS (
@@ -948,6 +1066,9 @@ def oracle_sql() -> dict[str, str]:
         "graph_lpa": _lpa_oracle(),
         "graph_triangles": _TRIANGLES_ORACLE,
         "graph_risk_prop": _risk_prop_oracle(),
+        "dedup_minhash_lsh": _MINHASH_LSH_ORACLE,
+        "dedup_simhash": _simhash_oracle(),
+        "embedding_near_dup": _EMBEDDING_NEAR_DUP_ORACLE,
         "expiry_filter": """
             SELECT l_returnflag,
                    CAST(count(*) AS BIGINT) AS n,

@@ -31,21 +31,55 @@ def label_propagation(
     num_partitions: int | None = None,
     resume: bool = True,
     checkpoint_every: int = 1,
+    salt_threshold: int | None = None,
+    salts: int = 16,
 ) -> SuperstepResult:
-    """Returns state (vertex_id, label, delta). Labels init to vertex_id."""
+    """Returns state (vertex_id, label, delta). Labels init to vertex_id.
+
+    ``salt_threshold`` mirrors ``pagerank(salt_threshold=...)``: a hub
+    dst whose neighbors share one label makes the (dst, label) count key
+    hot; two-level salting counts per (dst, label, salt) first, then sums
+    the partials — count is decomposable, results identical."""
     num_partitions = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     e = edges.select("src", "dst").repartition(num_partitions, "src").persist()
     verts = vertices.select("vertex_id").persist()
     e.count()
 
+    hubs = None
+    if salt_threshold is not None:
+        from ..operators.skew import hub_vertices
+
+        hubs = hub_vertices(e, salt_threshold, "in").persist()
+        hubs.count()
+
     init = verts.select("vertex_id", F.col("vertex_id").alias("label"), F.lit(1.0).alias("delta"))
 
     def step(state: DataFrame, k: int) -> DataFrame:
-        label_counts = (
-            e.join(state, e.src == state.vertex_id)
-            .groupBy(e.dst.alias("mdst"), F.col("label").alias("nbr_label"))
-            .agg(F.count(F.lit(1)).alias("cnt"))
+        msgs = e.join(state, e.src == state.vertex_id).select(
+            e.dst.alias("mdst"), F.col("label").alias("nbr_label")
         )
+        if hubs is not None:
+            salted = msgs.join(
+                F.broadcast(hubs.withColumn("_is_hub", F.lit(True))),
+                msgs.mdst == hubs.vertex_id,
+                "left",
+            ).withColumn(
+                "_salt",
+                F.when(
+                    F.col("_is_hub"),
+                    F.pmod(F.monotonically_increasing_id(), F.lit(salts)),
+                ).otherwise(F.lit(0)),
+            )
+            partial = salted.groupBy("mdst", "nbr_label", "_salt").agg(
+                F.count(F.lit(1)).alias("cnt")
+            )
+            label_counts = partial.groupBy("mdst", "nbr_label").agg(
+                F.sum("cnt").alias("cnt")
+            )
+        else:
+            label_counts = msgs.groupBy("mdst", "nbr_label").agg(
+                F.count(F.lit(1)).alias("cnt")
+            )
         # mode with (count desc, label asc) tie-break: max_by over (cnt, -label)
         mode = label_counts.groupBy("mdst").agg(
             F.max_by("nbr_label", F.struct(F.col("cnt"), (-F.col("nbr_label")).alias("neg"))).alias("mode_label")
@@ -61,4 +95,6 @@ def label_propagation(
     res = driver.run(init, step, max_supersteps=max_supersteps, tolerance=0.5, resume=resume, checkpoint_every=checkpoint_every)
     e.unpersist()
     verts.unpersist()
+    if hubs is not None:
+        hubs.unpersist()
     return res

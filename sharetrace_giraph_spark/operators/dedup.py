@@ -11,9 +11,19 @@ Five families, each scale-shaped for 100 TB document tables:
               like the conv_id contact join) — never the O(N²) cross join.
 - ngram-jaccard: exact Jaccard over word n-gram sets for candidate pairs
               (verification stage after LSH, or windowed pairs in tests).
-- simhash:    64-bit simhash via vectorized pandas UDF (Arrow batches);
-              near-dup = Hamming distance ≤ k over bucketed prefixes.
+- simhash:    60-bit simhash computed ENTIRELY JVM-side (explode tokens →
+              md5-derived token hash → 60 bit-vote sums in one partial+final
+              hash agg → bit assembly expression); near-dup = Hamming
+              distance ≤ k over bucketed prefixes. No Python in the kernel.
 - embedding near-dup: see operators/similarity.py (cosine path).
+
+Skew safety ("no silent caps"): a giant duplicate cluster puts its whole
+membership into one LSH band bucket / simhash prefix bucket, making the
+within-bucket self-join quadratic. Both candidate generators therefore
+accept ``max_bucket_size``: oversized buckets are EXCLUDED from pair
+generation, and the exclusion is loud — ``log_dropped=True`` logs the
+dropped bucket count/sizes, and the ``*_bucket_stats`` helpers expose the
+full bucket-size census for monitoring.
 
 Determinism: md5-based hashes only (bit-identical in DuckDB for oracles);
 no RNG anywhere.
@@ -21,13 +31,43 @@ no RNG anywhere.
 
 from __future__ import annotations
 
-import pandas as pd
+import logging
+from functools import reduce
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
-from pyspark.sql.functions import pandas_udf
 
 from .text import tokens
+
+logger = logging.getLogger(__name__)
+
+
+def _cap_buckets(
+    keyed: DataFrame,
+    bucket_cols: list[str],
+    max_bucket_size: int | None,
+    log_dropped: bool,
+    what: str,
+) -> DataFrame:
+    """Filter ``keyed`` down to rows whose bucket has ≤ max_bucket_size
+    members. ``log_dropped`` triggers one small eager agg to report what
+    was cut (the no-silent-caps rule); leave False on hot paths."""
+    if max_bucket_size is None:
+        return keyed
+    sizes = keyed.groupBy(*bucket_cols).agg(F.count(F.lit(1)).alias("bucket_n"))
+    if log_dropped:
+        dropped = sizes.where(F.col("bucket_n") > max_bucket_size).agg(
+            F.count(F.lit(1)).alias("buckets"),
+            F.coalesce(F.sum("bucket_n"), F.lit(0)).alias("members"),
+        ).collect()[0]
+        if dropped["buckets"]:
+            logger.warning(
+                "%s: dropping %d oversized buckets (> %d members, %d rows total) "
+                "from candidate generation",
+                what, dropped["buckets"], max_bucket_size, dropped["members"],
+            )
+    ok = sizes.where(F.col("bucket_n") <= max_bucket_size).drop("bucket_n")
+    return keyed.join(ok, bucket_cols, "left_semi")
 
 
 def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -72,17 +112,9 @@ def minhash_signatures(
     return ex.groupBy(id_col).agg(*aggs)
 
 
-def lsh_candidate_pairs(
-    signatures: DataFrame,
-    id_col: str = "doc_id",
-    num_hashes: int = 8,
-    bands: int = 4,
+def _banded_keys(
+    signatures: DataFrame, id_col: str, num_hashes: int, bands: int
 ) -> DataFrame:
-    """Banded LSH: split the k-signature into ``bands`` bands of k/bands
-    rows; docs sharing any full band become a candidate pair. Implemented
-    as explode-to-(band, key) + equi self-join per band key — the same
-    blocked-pair-generation shape as the conv_id contact join (J3).
-    Returns distinct (a, b) with a < b."""
     rows = num_hashes // bands
     band_cols = [
         F.struct(
@@ -91,9 +123,41 @@ def lsh_candidate_pairs(
         )
         for b in range(bands)
     ]
-    keyed = signatures.select(
+    return signatures.select(
         F.col(id_col).alias("doc"), F.explode(F.array(*band_cols)).alias("bk")
     ).select("doc", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+
+def lsh_band_stats(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """Band-bucket census (band, key, bucket_n) — the monitoring companion
+    of ``max_bucket_size`` (a bucket of n docs generates n·(n-1)/2 pairs)."""
+    keyed = _banded_keys(signatures, id_col, num_hashes, bands)
+    return keyed.groupBy("band", "key").agg(F.count(F.lit(1)).alias("bucket_n"))
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    max_bucket_size: int | None = None,
+    log_dropped: bool = False,
+) -> DataFrame:
+    """Banded LSH: split the k-signature into ``bands`` bands of k/bands
+    rows; docs sharing any full band become a candidate pair. Implemented
+    as explode-to-(band, key) + equi self-join per band key — the same
+    blocked-pair-generation shape as the conv_id contact join (J3).
+    Returns distinct (a, b) with a < b. ``max_bucket_size`` bounds the
+    per-bucket quadratic blowup a giant duplicate cluster causes (its
+    members share every band key); oversized buckets are excluded from
+    pair generation — loudly, see module docstring."""
+    keyed = _banded_keys(signatures, id_col, num_hashes, bands)
+    keyed = _cap_buckets(keyed, ["band", "key"], max_bucket_size, log_dropped, "lsh_candidate_pairs")
     l, r = keyed.alias("l"), keyed.alias("r")
     pairs = l.join(
         r,
@@ -134,50 +198,76 @@ def minhash_near_duplicates(
     bands: int = 4,
     shingle_n: int = 3,
     threshold: float = 0.7,
+    max_bucket_size: int | None = None,
+    log_dropped: bool = False,
 ) -> DataFrame:
     """Full near-dup pipeline: minhash → LSH candidates → exact-Jaccard
     verify → pairs with jaccard >= threshold."""
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
-    cand = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
+    cand = lsh_candidate_pairs(sigs, id_col, num_hashes, bands,
+                               max_bucket_size, log_dropped)
     return ngram_jaccard(cand, df, text_col, id_col, shingle_n).where(
         F.col("jaccard") >= threshold
     )
 
 
 # ---------------------------------------------------------------------------
-# SimHash (vectorized pandas UDF — Arrow batches, no per-row Python)
+# SimHash — fully JVM-side (codegen), md5-derived token hashes, 60 bits.
 # ---------------------------------------------------------------------------
 
-def _simhash64_batch(texts: pd.Series) -> pd.Series:
-    """64-bit SimHash over whitespace tokens, token hash = blake2b-8
-    (deterministic, seedless). Vectorized per Arrow batch; the inner loop
-    is numpy bit arithmetic over the batch's token stream."""
-    import hashlib
-
-    import numpy as np
-
-    out = np.zeros(len(texts), dtype=np.int64)
-    for i, text in enumerate(texts):
-        toks = (text or "").split()
-        if not toks:
-            continue
-        hs = np.frombuffer(
-            b"".join(hashlib.blake2b(t.encode(), digest_size=8).digest() for t in toks),
-            dtype=np.uint64,
-        )
-        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int32)
-        votes = bits.sum(axis=0) * 2 - len(toks)
-        sh = np.uint64(0)
-        for b in np.nonzero(votes > 0)[0]:
-            sh |= np.uint64(1) << np.uint64(b)
-        out[i] = sh.astype(np.int64)
-    return pd.Series(out)
+#: 60 bits = 15 md5 hex chars: fits a signed 64-bit long with headroom, so
+#: every shift/compare stays in non-negative territory on both Spark and
+#: DuckDB (the oracle replays the identical arithmetic).
+SIMHASH_BITS = 60
 
 
-def simhash64(col) -> F.Column:
-    """Lazy pandas_udf wrapper (registering a pandas UDF needs an active
-    SparkSession in Spark 4, so registration happens at call time)."""
-    return pandas_udf(_simhash64_batch, "long")(col)
+def simhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc, sh): 60-bit SimHash per document, entirely in JVM expressions.
+
+    Token hash = first 15 hex chars of md5(token) → long. The per-bit
+    majority vote is 60 ``sum((h >> b) & 1)`` aggregates over the exploded
+    token stream — ONE partial+final hash agg (map-side combine reduces
+    the shuffle to 61 longs per doc), then a single select assembles the
+    hash from the votes. Replaces the round-1 pandas UDF whose inner loop
+    was per-row Python with per-token hashlib calls (the anti-pattern the
+    north rule forbids). Documents with zero tokens have no signature (and
+    thus never pair).
+    """
+    ex = df.select(
+        F.col(id_col).alias("doc"), F.explode(tokens(F.col(text_col))).alias("tok")
+    )
+    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
+    ex = ex.select("doc", h.alias("h"))
+    aggs = [
+        F.sum(F.shiftrightunsigned(F.col("h"), b).bitwiseAND(F.lit(1))).alias(f"b{b}")
+        for b in range(SIMHASH_BITS)
+    ] + [F.count(F.lit(1)).alias("n")]
+    votes = ex.groupBy("doc").agg(*aggs)
+    sh = reduce(
+        lambda acc, b: acc
+        + F.when(F.col(f"b{b}") * 2 > F.col("n"), F.lit(1 << b)).otherwise(F.lit(0)),
+        range(SIMHASH_BITS),
+        F.lit(0).cast("long"),
+    )
+    return votes.select("doc", sh.alias("sh"))
+
+
+def simhash_bucket_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    prefix_bits: int = 16,
+) -> DataFrame:
+    """Bucket-size census (bucket, bucket_n) for the prefix blocking —
+    the monitoring companion of ``max_bucket_size``."""
+    h = simhash_signatures(df, text_col, id_col)
+    return (
+        h.select(F.shiftrightunsigned("sh", SIMHASH_BITS - prefix_bits).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("bucket_n"))
+    )
 
 
 def simhash_near_duplicates(
@@ -186,13 +276,18 @@ def simhash_near_duplicates(
     id_col: str = "doc_id",
     prefix_bits: int = 16,
     max_hamming: int = 3,
+    max_bucket_size: int | None = None,
+    log_dropped: bool = False,
 ) -> DataFrame:
     """SimHash near-dup: bucket by the top ``prefix_bits`` bits (blocked
     candidate generation), verify Hamming distance ≤ max_hamming via
     bit_count(xor). Rotating the prefix (multi-probe) is a caller-side
-    union at scale; one probe here."""
-    h = df.select(F.col(id_col).alias("doc"), simhash64(F.col(text_col)).alias("sh"))
-    h = h.withColumn("bucket", F.shiftrightunsigned("sh", 64 - prefix_bits))
+    union at scale; one probe here. ``max_bucket_size`` bounds the
+    within-bucket self-join against duplicate-cluster skew (oversized
+    buckets are excluded — loudly, see module docstring)."""
+    h = simhash_signatures(df, text_col, id_col)
+    h = h.withColumn("bucket", F.shiftrightunsigned("sh", SIMHASH_BITS - prefix_bits))
+    h = _cap_buckets(h, ["bucket"], max_bucket_size, log_dropped, "simhash_near_duplicates")
     l, r = h.alias("l"), h.alias("r")
     return (
         l.join(

@@ -143,14 +143,23 @@ def ivf_topk(
 def embedding_near_duplicates(
     corpus: DataFrame,
     threshold: float = 0.95,
-    n_centroids: int = 16,
+    n_centroids: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Near-dup pairs by cosine >= threshold among same-IVF-bucket
     candidates (one blocked self-join; cross-bucket near-dups are missed by
     design — the standard recall/cost tradeoff, mitigated by n_probe > 1
-    variants)."""
+    variants).
+
+    ``n_centroids`` defaults to ceil(sqrt(N)) (one count job): expected
+    bucket size ≈ sqrt(N), so the within-bucket self-join does ~N·sqrt(N)/2
+    comparisons total instead of the N²/C quadratic blowup a FIXED centroid
+    count gives as the corpus grows."""
+    if n_centroids is None:
+        import math
+
+        n_centroids = max(1, math.ceil(math.sqrt(corpus.count())))
     _, assigned = assign_ivf_buckets(corpus, n_centroids, id_col, vec_col)
     l = assigned.select(
         F.col("bucket"), F.col(id_col).alias("a"), F.col(vec_col).alias("va")

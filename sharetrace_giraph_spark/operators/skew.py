@@ -41,15 +41,22 @@ def hub_vertices(edges: DataFrame, threshold: int, direction: str = "in") -> Dat
     return degree_census(edges, direction).where(F.col("degree") > threshold).select("vertex_id")
 
 
-def salted_sum(
+#: decomposable aggregates safe for two-level salting (level-2 re-applies
+#: the same function over the level-1 partials)
+_SALTABLE = {"sum": F.sum, "min": F.min, "max": F.max}
+
+
+def salted_agg(
     messages: DataFrame,
     key: str,
     value: str,
     hubs: DataFrame,
+    agg: str = "sum",
     salts: int = 16,
     salt_source: str | None = None,
 ) -> DataFrame:
-    """Two-level SUM of ``value`` by ``key`` with hub keys salted.
+    """Two-level decomposable aggregate (sum/min/max) of ``value`` by
+    ``key`` with hub keys salted.
 
     ``messages`` rows whose ``key`` appears in ``hubs`` (broadcast) get a
     salt derived from ``salt_source`` (any well-distributed column, e.g.
@@ -59,6 +66,7 @@ def salted_sum(
 
     Returns ``(key, value)`` with the same column names.
     """
+    fn = _SALTABLE[agg]
     salt_col = (
         F.pmod(F.xxhash64(F.col(salt_source)), F.lit(salts))
         if salt_source
@@ -69,5 +77,30 @@ def salted_sum(
         messages[key] == hubs["vertex_id"],
         "left",
     ).withColumn("_salt", F.when(F.col("_is_hub"), salt_col).otherwise(F.lit(0)))
-    partial = tagged.groupBy(F.col(key), F.col("_salt")).agg(F.sum(value).alias(value))
-    return partial.groupBy(key).agg(F.sum(value).alias(value))
+    partial = tagged.groupBy(F.col(key), F.col("_salt")).agg(fn(value).alias(value))
+    return partial.groupBy(key).agg(fn(value).alias(value))
+
+
+def salted_sum(
+    messages: DataFrame,
+    key: str,
+    value: str,
+    hubs: DataFrame,
+    salts: int = 16,
+    salt_source: str | None = None,
+) -> DataFrame:
+    """Two-level SUM — see :func:`salted_agg`."""
+    return salted_agg(messages, key, value, hubs, "sum", salts, salt_source)
+
+
+def salted_min(
+    messages: DataFrame,
+    key: str,
+    value: str,
+    hubs: DataFrame,
+    salts: int = 16,
+    salt_source: str | None = None,
+) -> DataFrame:
+    """Two-level MIN — see :func:`salted_agg` (min is decomposable:
+    min(min(parts)) == min(all), so salting never changes the result)."""
+    return salted_agg(messages, key, value, hubs, "min", salts, salt_source)

@@ -86,10 +86,23 @@ def read_factor_graph(spark: SparkSession, path: str) -> tuple[DataFrame, DataFr
       lines, exploded to one row per score (SURVEY §1.1: nested sets
       become rows, not carried-around arrays).
     """
+    # strictness matches the reference's refusal of schema drift: FAILFAST
+    # raises on malformed JSON / uncoercible fields, and the assert_true
+    # filter (never pruned, unlike a dangling select) raises on lines that
+    # parse but carry no recognizable vertex type — a PERMISSIVE null here
+    # would silently drop the row from both outputs
     parsed = (
         spark.read.text(path)
         .where(F.length(F.trim("value")) > 0)
-        .select(F.from_json("value", VERTEX_LINE_SCHEMA).alias("v"))
+        .select(
+            F.from_json("value", VERTEX_LINE_SCHEMA, {"mode": "FAILFAST"}).alias("v")
+        )
+        .where(
+            F.assert_true(
+                F.col("v").isNotNull() & F.col("v.type").isin("FACTOR", "VARIABLE"),
+                F.lit("jsonlines: vertex line with missing/unknown type"),
+            ).isNull()
+        )
         .persist()
     )
 

@@ -77,7 +77,8 @@ def test_rows_only_queries_run(spark):
     near-dup queries may be legitimately empty at sf0.001 but must execute."""
     qs = entry_mod.queries()
     rows_only = sorted(set(qs) - set(ORACLES))
-    assert rows_only, "expected at least one rows-only query"
+    # round 2: every query has an oracle, so this may be empty; the
+    # harness stays for any future rows-only additions
     for name in rows_only:
         df = qs[name](spark, "/root/testdata/sf0.001")
         n = df.count()

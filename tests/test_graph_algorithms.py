@@ -146,3 +146,71 @@ def test_triangles_medium(spark, medium_graph):
     for v in _vertices_of(edge_list):
         assert got[v] == exp_per.get(v, 0)
     assert exp_total > 5  # non-trivial
+
+def test_cc_doubling_matches_frontier(spark, tiny_graph, medium_graph, ckpt):
+    """Pointer-doubling CC must produce the identical exact labels."""
+    for name, (verts, enc, edge_list) in {
+        "tiny": (tiny_graph[1], tiny_graph[2], tiny_graph[4]),
+        "medium": (medium_graph[1], medium_graph[2], medium_graph[3]),
+    }.items():
+        res = connected_components(
+            spark, E.undirect(enc), verts, ckpt, run_id=f"ccd-{name}",
+            max_supersteps=100, method="doubling",
+        )
+        got = {r.vertex_id: r.comp for r in res.state.collect()}
+        exp = cc_py(edge_list, _vertices_of(edge_list))
+        assert res.converged, name
+        assert got == exp, name
+
+
+def test_cc_doubling_logarithmic_on_path(spark, ckpt):
+    """A path of V vertices: the frontier method needs V-1 label-changing
+    supersteps (information moves one hop per step); pointer doubling
+    covers distance 2^k - 1 after k steps, so it must converge within
+    ~log2(V) supersteps (+1 to observe zero delta)."""
+    import math
+
+    V = 32
+    canon = spark.createDataFrame(
+        [(i, i + 1) for i in range(V - 1)], "src long, dst long"
+    )
+    verts = spark.createDataFrame([(i,) for i in range(V)], "vertex_id long")
+    und = E.undirect(canon)
+
+    doubling = connected_components(
+        spark, und, verts, ckpt, run_id="path-d", max_supersteps=30,
+        method="doubling", checkpoint_every=5,
+    )
+    assert doubling.converged
+    assert doubling.supersteps_run <= math.ceil(math.log2(V)) + 2, doubling.supersteps_run
+    assert {r.comp for r in doubling.state.collect()} == {0}
+
+    frontier = connected_components(
+        spark, und, verts, ckpt, run_id="path-f", max_supersteps=V + 5,
+        method="frontier", checkpoint_every=5,
+    )
+    assert frontier.converged
+    assert frontier.supersteps_run >= V - 1  # O(diameter), the contrast
+    assert {r.comp for r in frontier.state.collect()} == {0}
+
+
+def test_cc_salted_matches_unsalted(spark, medium_graph, ckpt):
+    """salted_min is decomposable — hub salting must not change labels."""
+    _, verts, enc, edge_list = medium_graph
+    res = connected_components(
+        spark, E.undirect(enc), verts, ckpt, run_id="cc-salt",
+        max_supersteps=100, salt_threshold=5, salts=4,
+    )
+    got = {r.vertex_id: r.comp for r in res.state.collect()}
+    assert got == cc_py(edge_list, _vertices_of(edge_list))
+
+
+def test_lpa_salted_matches_unsalted(spark, medium_graph, ckpt):
+    """Salted two-level (dst, label) counting must not change the mode."""
+    _, verts, enc, edge_list = medium_graph
+    res = label_propagation(
+        spark, E.undirect(enc), verts, ckpt, run_id="lpa-salt",
+        max_supersteps=5, salt_threshold=5, salts=4,
+    )
+    got = {r.vertex_id: r.label for r in res.state.collect()}
+    assert got == lpa_py(edge_list, _vertices_of(edge_list), max_iters=5)

@@ -74,3 +74,21 @@ def test_s2_sink_round_trip(spark, ckpt, parsed, tmp_path):
     # wire shape: {"id":...,"updateTime":<decimal seconds>,"value":...}
     line = spark.read.text(path).where("length(value) > 0").first().value
     assert line.startswith('{"id":') and '"updateTime":' in line and '"value":' in line
+
+
+def test_schema_drift_fails_loudly(spark, tmp_path):
+    """PERMISSIVE parsing would silently drop a drifted line from both
+    outputs; the reader must instead raise (reference strictness)."""
+    p = tmp_path / "drift.txt"
+    p.write_text('{"kind": "FACTOR", "payload": 1}\n')
+    contacts, _ = jsonlines.read_factor_graph(spark, str(p))
+    with pytest.raises(Exception, match="missing/unknown type|ASSERT|assert"):
+        contacts.count()
+
+
+def test_malformed_json_fails_loudly(spark, tmp_path):
+    p = tmp_path / "malformed.txt"
+    p.write_text('{"type": "FACTOR", not json at all\n')
+    contacts, _ = jsonlines.read_factor_graph(spark, str(p))
+    with pytest.raises(Exception):
+        contacts.count()

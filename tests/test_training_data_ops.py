@@ -69,9 +69,10 @@ def test_exact_duplicates_detects_planted_dups(spark, docs):
 
 
 def test_simhash_deterministic_and_near_dup_sane(spark, docs):
-    a = {r.doc_id: r.sh for r in docs.select("doc_id", dedup.simhash64("text").alias("sh")).collect()}
-    b = {r.doc_id: r.sh for r in docs.select("doc_id", dedup.simhash64("text").alias("sh")).collect()}
+    a = {r.doc: r.sh for r in dedup.simhash_signatures(docs).collect()}
+    b = {r.doc: r.sh for r in dedup.simhash_signatures(docs).collect()}
     assert a == b  # deterministic across runs
+    assert all(0 <= v < (1 << dedup.SIMHASH_BITS) for v in a.values())
     # identical docs → identical simhash → hamming 0 pairs found
     planted = docs.limit(3).union(
         docs.limit(3).withColumn("doc_id", F.col("doc_id") + 100000)
@@ -80,6 +81,63 @@ def test_simhash_deterministic_and_near_dup_sane(spark, docs):
     assert {(r.a, r.b) for r in pairs} >= {
         (r.doc_id, r.doc_id + 100000) for r in docs.limit(3).collect()
     }
+
+
+def test_simhash_matches_reference_python(spark, docs):
+    """The JVM expression pipeline computes the textbook simhash: per-bit
+    majority vote over md5-derived 60-bit token hashes."""
+    import hashlib
+
+    def ref_simhash(text):
+        toks = [t for t in text.split() if t]
+        if not toks:
+            return None
+        votes = [0] * dedup.SIMHASH_BITS
+        for t in toks:
+            h = int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+            for bit in range(dedup.SIMHASH_BITS):
+                votes[bit] += (h >> bit) & 1
+        return sum(
+            1 << bit
+            for bit in range(dedup.SIMHASH_BITS)
+            if votes[bit] * 2 > len(toks)
+        )
+
+    sample = docs.limit(25).toPandas()
+    got = {r.doc: r.sh for r in dedup.simhash_signatures(docs.limit(25)).collect()}
+    for _, row in sample.iterrows():
+        assert got[row["doc_id"]] == ref_simhash(row["text"]), row["doc_id"]
+
+
+def test_skewed_bucket_cap_bounds_pair_generation(spark, docs):
+    """A giant duplicate cluster shares every band key / simhash prefix;
+    max_bucket_size must exclude those buckets from pair generation (and
+    the stats helpers must expose what was cut)."""
+    # plant a 30-member duplicate cluster
+    one = docs.limit(1).select("text")
+    cluster = (
+        spark.range(30)
+        .withColumn("doc_id", (F.col("id") + 500000).cast("long"))
+        .crossJoin(F.broadcast(one))
+        .select("doc_id", "text")
+    )
+    corpus = docs.select("doc_id", "text").union(cluster)
+
+    # uncapped: the cluster alone contributes 30*29/2 = 435 pairs
+    sigs = dedup.minhash_signatures(corpus)
+    uncapped = dedup.lsh_candidate_pairs(sigs).count()
+    capped = dedup.lsh_candidate_pairs(sigs, max_bucket_size=10).count()
+    assert uncapped >= 435
+    assert capped <= uncapped - 435  # every cluster bucket got dropped
+
+    stats = dedup.lsh_band_stats(sigs)
+    assert stats.where(F.col("bucket_n") >= 30).count() >= 4  # all 4 bands
+
+    sh_capped = dedup.simhash_near_duplicates(corpus, max_bucket_size=10)
+    sh_uncapped = dedup.simhash_near_duplicates(corpus)
+    assert sh_capped.count() <= sh_uncapped.count() - 435
+    sh_stats = dedup.simhash_bucket_stats(corpus)
+    assert sh_stats.where(F.col("bucket_n") >= 30).count() >= 1
 
 
 def test_ivf_topk_recall_vs_bruteforce(spark, emb):
