@@ -116,6 +116,28 @@ def q_graph_cc(spark, sf_dir):
     )
 
 
+def q_graph_cc_doubling(spark, sf_dir):
+    """Same component labels via the pointer-doubling method (min-label +
+    comp←comp(comp) shortcutting, O(log V) supersteps) — shares
+    graph_cc's recursive-CTE oracle because the labels are identical by
+    construction."""
+    from sharetrace_giraph_spark.algorithms import connected_components
+    from sharetrace_giraph_spark.operators import edges as E
+
+    contacts, verts, enc = _graph(spark, sf_dir)
+    res = connected_components(spark, E.undirect(enc), verts, _ckpt(),
+                               run_id="qd", max_supersteps=50, method="doubling")
+    comp_roles = verts.select(
+        F.col("vertex_id").alias("comp"), F.col("role").alias("comp_role")
+    )
+    return (
+        res.state.join(verts, "vertex_id")
+        .join(comp_roles, "comp")
+        .select("role", "comp_role")
+        .orderBy("role")
+    )
+
+
 def q_graph_lpa(spark, sf_dir):
     """Labels reported in ROLE space (see q_graph_cc): the deterministic
     (count desc, label asc) tie-break is order-isomorphic between encoded
@@ -697,6 +719,17 @@ def q_multimodal_meta(spark, sf_dir):
     return feats.select("doc_id", "kind", "n_bytes", "payload_md5").orderBy("doc_id")
 
 
+def q_multimodal_frames(spark, sf_dir):
+    """Frame/segment sampling plumbing: payload → ≤8 byte-slice 'frames'
+    per item via Arrow-batched mapInPandas with in-batch 1→N fan-out.
+    The synthetic corpus is ASCII, so DuckDB replays the byte slicing
+    with string substrings as the oracle."""
+    from sharetrace_giraph_spark.operators.multimodal import sample_frames, synthesize_media
+
+    d = _t(spark, sf_dir, "documents")
+    return sample_frames(synthesize_media(d)).orderBy("doc_id", "frame_idx")
+
+
 def q_multimodal_stats(spark, sf_dir):
     """Per-kind media stats (pure relational over the media table)."""
     from sharetrace_giraph_spark.operators.multimodal import media_stats, synthesize_media
@@ -712,6 +745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # graph pipeline (rows-only; golden-fixture-verified in tests/)
         "graph_pagerank": q_graph_pagerank,
         "graph_cc": q_graph_cc,
+        "graph_cc_doubling": q_graph_cc_doubling,
         "graph_lpa": q_graph_lpa,
         "graph_triangles": q_graph_triangles,
         "graph_risk_prop": q_graph_risk_prop,
@@ -754,6 +788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk_ivf": q_sim_topk_ivf,
         "embedding_near_dup": q_embedding_near_dup,
         "multimodal_meta": q_multimodal_meta,
+        "multimodal_frames": q_multimodal_frames,
         "multimodal_stats": q_multimodal_stats,
     }
 
@@ -1063,6 +1098,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "graph_pagerank": _pagerank_oracle(),
         "graph_cc": _CC_ORACLE,
+        "graph_cc_doubling": _CC_ORACLE,
         "graph_lpa": _lpa_oracle(),
         "graph_triangles": _TRIANGLES_ORACLE,
         "graph_risk_prop": _risk_prop_oracle(),
@@ -1390,6 +1426,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                    md5(text) AS payload_md5
             FROM documents ORDER BY doc_id
+        """,
+        "multimodal_frames": """
+            WITH m AS (
+                SELECT doc_id,
+                       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                            ELSE 'video' END AS kind,
+                       text,
+                       octet_length(encode(text)) AS n
+                FROM documents
+            ), ks AS (
+                SELECT doc_id, kind, text,
+                       unnest(generate_series(0,
+                           CAST(least(8, CAST(ceil(CAST(n AS DOUBLE) / 256) AS BIGINT)) - 1 AS BIGINT)
+                       )) AS k
+                FROM m
+            ), f AS (
+                SELECT doc_id, kind, CAST(k AS INT) AS frame_idx,
+                       CAST(k * 256 AS BIGINT) AS frame_offset,
+                       substring(text, CAST(k * 256 + 1 AS INT), 64) AS chunk
+                FROM ks
+            )
+            SELECT doc_id, kind, frame_idx, frame_offset,
+                   CAST(octet_length(encode(chunk)) AS BIGINT) AS frame_bytes,
+                   md5(chunk) AS frame_md5
+            FROM f ORDER BY doc_id, frame_idx
         """,
         "multimodal_stats": """
             SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'

@@ -83,9 +83,12 @@ def run_graph_bench(spark, sf: float, cores: int, ckpt: str) -> dict:
     out["_n_edges_directed"] = n_edges_directed
 
     t0 = time.monotonic()
+    # checkpoint_every=2 matches the scaling protocol (BASELINE.md): durable
+    # checkpoint every other superstep, in-memory lineage truncation between
     pr = pagerank(
         spark, und, verts, ckpt, run_id="bench-pr",
         tolerance=0.0, max_supersteps=PR_SUPERSTEPS, resume=False,
+        checkpoint_every=2,
     )
     pr_s = time.monotonic() - t0
     out["pagerank_10_supersteps"] = round(pr_s, 3)
@@ -94,7 +97,8 @@ def run_graph_bench(spark, sf: float, cores: int, ckpt: str) -> dict:
 
     t0 = time.monotonic()
     cc = connected_components(
-        spark, und, verts, ckpt, run_id="bench-cc", max_supersteps=30, resume=False
+        spark, und, verts, ckpt, run_id="bench-cc", max_supersteps=30, resume=False,
+        checkpoint_every=2,
     )
     cc_s = time.monotonic() - t0
     out["connected_components"] = round(cc_s, 3)
@@ -331,13 +335,18 @@ superstep job (same deterministic synthetic edge table: V =
 {report['n_vertices']:,}, E_directed = {report['n_edges_directed']:,},
 hub-skewed, SAME fixed 32-way data/shuffle partitioning at every level —
 on a real cluster the table's partitioning is fixed and only executor
-slots scale) at four parallelism levels, each in a fresh JVM.
-PageRank throughput is the MEDIAN steady-state superstep rate (first 2
-supersteps excluded: JIT + cache warmup; median resists GC outliers).
-Connected-components throughput is whole-job (nominal edges x
-supersteps / total wall) because its frontier messaging makes late
-supersteps intentionally near-empty. Efficiency(N->4N) =
-(throughput@4N / throughput@N) / 4; the north-rule bar is >= 0.8.
+slots scale) at four parallelism levels, each in a fresh JVM. The job
+takes a durable checkpoint every 2 supersteps (Giraph's
+checkpointFrequency analog; in between, lineage is truncated by an
+in-memory persist) — identical cadence at every level.
+PageRank throughput is the MEAN steady-state superstep rate (first 2
+supersteps excluded: JIT + cache warmup; mean, because supersteps
+alternate cheap/durable checkpoints and amortized throughput is the
+honest number). Connected-components throughput is whole-job (nominal
+edges x supersteps / total wall) because its frontier messaging makes
+late supersteps intentionally near-empty. Efficiency(N->4N) =
+(throughput@4N / throughput@N) / 4; the acceptance bar (BASELINE.md) is
+>= 0.8 PER ALGORITHM on the primary 1 -> 4 pair — no blended metric.
 
 | parallelism | PageRank edges/sec | PageRank supersteps/sec | CC edges/sec (whole job) |
 |---|---|---|---|

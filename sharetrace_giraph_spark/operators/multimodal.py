@@ -112,6 +112,56 @@ def extract_features(media: DataFrame, feature_dim: int = 8, fake: bool = True) 
     return media.mapInPandas(batches, FEATURE_SCHEMA)
 
 
+FRAME_SCHEMA = (
+    "doc_id long, kind string, frame_idx int, frame_offset long, "
+    "frame_bytes long, frame_md5 string"
+)
+
+
+def sample_frames(
+    media: DataFrame,
+    frame_size: int = 64,
+    stride: int = 256,
+    max_frames: int = 8,
+) -> DataFrame:
+    """Frame/segment sampling over binary payloads — one output row per
+    sampled frame (video frame-sample / audio window-slice analog).
+
+    The Spark plumbing is the real thing: Arrow-batched ``mapInPandas``,
+    byte-slice extraction without per-row Python loops over bytes, 1→N row
+    fan-out inside the batch. The "frame decode" is the deterministic
+    byte-slice stand-in this container permits (a real pipeline swaps the
+    slicing for an av/PIL call; the schema, batching, and fan-out stay).
+
+    Frame k covers payload[k*stride : k*stride + frame_size]; frames start
+    strictly inside the payload; at most ``max_frames`` per item.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in it:
+            out = {
+                "doc_id": [], "kind": [], "frame_idx": [],
+                "frame_offset": [], "frame_bytes": [], "frame_md5": [],
+            }
+            for doc_id, kind, payload in zip(pdf["doc_id"], pdf["kind"], pdf["payload"]):
+                n = len(payload)
+                n_frames = min(max_frames, (n + stride - 1) // stride)
+                for k in range(n_frames):
+                    off = k * stride
+                    chunk = payload[off : off + frame_size]
+                    out["doc_id"].append(doc_id)
+                    out["kind"].append(kind)
+                    out["frame_idx"].append(k)
+                    out["frame_offset"].append(off)
+                    out["frame_bytes"].append(len(chunk))
+                    out["frame_md5"].append(hashlib.md5(chunk).hexdigest())
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, FRAME_SCHEMA)
+
+
 def media_stats(media: DataFrame) -> DataFrame:
     """Pure-relational metadata aggregation (no Python): per kind, count,
     total/mean payload bytes."""

@@ -137,17 +137,31 @@ class SuperstepDriver:
         return self.spark.read.parquet(path), (obs.get if obs is not None else None)
 
     def _persist_state(self, state: DataFrame):
-        """Non-durable checkpoint: persist + materialize (lineage truncated
-        for the next superstep's plan, nothing written to disk)."""
-        obs = Observation()
-        observed = state.observe(
-            obs,
+        """Non-durable checkpoint: ``localCheckpoint(eager=True)``.
+
+        NOT ``.persist()`` — persist caches the physical result but does
+        not truncate the LOGICAL plan, so each subsequent superstep makes
+        Catalyst re-analyze the whole accumulated lineage and the cadence
+        got slower than checkpointing every superstep (measured: 33s vs
+        13s for 10 supersteps on a 94k-edge graph at local[32]).
+        localCheckpoint rebases the plan on the materialized RDD, exactly
+        like the parquet round-trip but executor-local and with no file
+        I/O. Convergence aggregates run as a follow-up 1-row agg over the
+        materialized data (a cheap in-memory scan; ``observe`` cannot
+        piggyback across the checkpoint boundary).
+
+        Tradeoff (why this is only the NON-durable slot): executor loss
+        voids a local checkpoint, failing the job back to the last durable
+        parquet superstep — the resume granularity ``checkpoint_every``
+        already promises."""
+        cached = state.localCheckpoint(eager=True)
+        row = cached.agg(
             F.sum(F.abs(F.col("delta"))).alias("l1"),
             F.count(F.lit(1)).alias("n"),
             F.sum(F.when(F.abs("delta") > self._tolerance, 1).otherwise(0)).alias("active"),
-        ).persist()
-        observed.count()
-        return observed, obs.get
+        ).collect()[0]
+        agg = {"l1": row["l1"], "n": row["n"], "active": row["active"]}
+        return cached, agg
 
     def read_state(self, superstep: int) -> DataFrame:
         path = os.path.join(

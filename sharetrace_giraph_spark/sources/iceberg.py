@@ -83,6 +83,10 @@ class IcebergWarehouse:
         return [int(r[0]) for r in rows]
 
     def read_table(self, table: str, as_of: int | None = None) -> DataFrame:
+        if not self._exists(table):
+            # API parity with ParquetWarehouse: callers (incremental
+            # pipeline, streaming sink) catch ValueError for "no table yet"
+            raise ValueError(f"table {table} has no snapshots (as_of={as_of})")
         reader = self.spark.read.format("iceberg")
         if as_of is not None:
             reader = reader.option("snapshot-id", str(as_of))

@@ -118,3 +118,60 @@ def test_risk_propagation_medium_graph_matches_oracle(spark, ckpt):
     }
     assert got_state == exp_state
     contacts.unpersist()
+
+
+def test_risk_prop_driver_scale_invariants(spark, ckpt):
+    """Full pipeline at driver-data scale (sf0.01: 150 actors, ~10.6k
+    contact pairs — the BeliefPropagationRunner production-path analog):
+    events → synthetic scores → contacts → 5 BP supersteps. Structural
+    invariants that must hold regardless of graph shape:
+
+    - score sets only GROW (A2 union-merge never removes), so each
+      vertex's final max value >= its initial value;
+    - every relayed value is a prior value scaled by rate <= 1, so no
+      final value exceeds the global initial max;
+    - the vertex set is preserved exactly;
+    - the driver ran the full 5 supersteps (tolerance 0) and produced
+      per-superstep metrics with positive message counts.
+    """
+    import pyspark.sql.functions as F
+
+    import __spark_entry__ as em
+
+    sf = "/root/testdata/sf0.01"
+    t = em.transcripts_from_events(spark, sf)
+    contacts = E.derive_contacts(t, duration_threshold_s=0, session_gap_s=6 * 3600).persist()
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    scores = (
+        ev.groupBy("user_id")
+        .agg(F.min("ts").alias("update_time"))
+        .select(
+            F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("id"),
+            "update_time",
+            F.round(F.pmod(F.col("user_id"), F.lit(1000)) / 1000.0, 3).alias("value"),
+        )
+    ).persist()
+
+    res = risk_propagation(
+        spark, contacts, scores, ckpt, run_id="sf001",
+        transmission_rate=0.8, max_supersteps=5, tolerance=0.0,
+    )
+    final = final_scores(res.state)
+
+    init = {r.id: r.value for r in scores.collect()}
+    got = {r.vertex_id: r.value for r in final.collect()}
+    assert set(got) == set(init)  # vertex universe preserved
+    gmax = max(init.values())
+    for v, val in got.items():
+        assert val >= init[v] - 1e-12, (v, val, init[v])  # monotone
+        assert val <= gmax + 1e-12, (v, val)              # bounded by max initial
+
+    # someone must have actually improved via messaging at this scale
+    improved = sum(1 for v in got if got[v] > init[v] + 1e-12)
+    assert improved > 0
+
+    assert res.supersteps_run == 5 and not res.converged
+    assert len(res.metrics) == 5
+    assert all(m["messages"] > 0 for m in res.metrics)
+    contacts.unpersist()
+    scores.unpersist()

@@ -211,3 +211,25 @@ def test_multimodal_real_decode_is_stubbed(spark, docs):
     with pytest.raises(Exception) as ei:
         feats.collect()
     assert "NotImplementedError" in str(ei.value) or "real media decode" in str(ei.value)
+
+
+def test_sample_frames_plumbing(spark, docs):
+    """Frame sampling: ≤8 frames per item, stride-256 offsets, byte-exact
+    slices (verified against Python slicing on a sample)."""
+    import hashlib
+
+    media = multimodal.synthesize_media(docs.limit(20))
+    frames = multimodal.sample_frames(media).collect()
+    texts = {r.doc_id: r.text for r in docs.limit(20).collect()}
+    assert frames
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, rows in by_doc.items():
+        payload = texts[doc_id].encode()
+        n_expected = min(8, (len(payload) + 255) // 256)
+        assert len(rows) == n_expected, doc_id
+        for r in sorted(rows, key=lambda x: x.frame_idx):
+            chunk = payload[r.frame_offset : r.frame_offset + 64]
+            assert r.frame_bytes == len(chunk)
+            assert r.frame_md5 == hashlib.md5(chunk).hexdigest()

@@ -170,7 +170,17 @@ def test_iceberg_read_incremental_options():
 
 
 def test_iceberg_read_table_as_of():
-    s = _StubSpark(snapshots=[5])
+    s = _StubSpark(snapshots=[5], existing={"ns.t"})
     wh = IcebergWarehouse(s, "ns")
     assert wh.read_table("t", as_of=5) == "df::ns.t"
     assert ("option", "snapshot-id", "5") in s.log
+
+
+def test_iceberg_read_table_missing_raises_valueerror():
+    """API parity with ParquetWarehouse: 'no table yet' must be a
+    ValueError (the incremental pipeline and streaming sink catch it)."""
+    import pytest as _pytest
+
+    wh = IcebergWarehouse(_StubSpark(), "ns")
+    with _pytest.raises(ValueError):
+        wh.read_table("t")
