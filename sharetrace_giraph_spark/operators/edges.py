@@ -67,44 +67,100 @@ def sessionize(transcripts: DataFrame, session_gap_s: int = DEFAULT_SESSION_GAP_
     return transcripts.withColumn("session_id", F.sum(new_session).over(w))
 
 
+#: pair expansion over the per-session participant array: element i pairs
+#: with every later element (the array is sorted by role, so a.role <
+#: b.role holds by construction)
+_PAIR_EXPAND = (
+    "flatten(transform(ps, (x, i) -> "
+    "transform(slice(ps, i + 2, size(ps) - i - 1), "
+    "y -> named_struct('a', x, 'b', y))))"
+)
+
+
+def _pairs_grouped(spans: DataFrame) -> DataFrame:
+    """All role pairs per (conv, session) in ONE pass: collect the (small
+    by schema) participant list per session, expand ordered pairs with a
+    higher-order expression. No self-join — the span pipeline (and the
+    transcript scan under it) is evaluated once, and the groupBy reuses
+    the sessionization window's conv_id hash partitioning (grouping keys
+    are a superset), so this adds ZERO shuffles."""
+    g = spans.groupBy("conv_id", "session_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("role", "first_ts", "last_ts"))
+        ).alias("ps")
+    )
+    return g.select(F.explode(F.expr(_PAIR_EXPAND)).alias("p")).select(
+        F.col("p.a.role").alias("a_role"),
+        F.col("p.b.role").alias("b_role"),
+        F.col("p.a.first_ts").alias("a_first_ts"),
+        F.col("p.a.last_ts").alias("a_last_ts"),
+        F.col("p.b.first_ts").alias("b_first_ts"),
+        F.col("p.b.last_ts").alias("b_last_ts"),
+    )
+
+
+def _pairs_join(spans: DataFrame) -> DataFrame:
+    """The equi self-join formulation of the same pair generation. Costs a
+    second evaluation of the span pipeline (Catalyst plans self-join
+    branches independently) but distributes a single giant session's
+    quadratic pair fan-out across tasks instead of one executor row —
+    choose it for corpora with pathologically large sessions."""
+    a, b = spans.alias("a"), spans.alias("b")
+    return a.join(
+        b,
+        (F.col("a.conv_id") == F.col("b.conv_id"))
+        & (F.col("a.session_id") == F.col("b.session_id"))
+        & (F.col("a.role") < F.col("b.role")),
+    ).select(
+        F.col("a.role").alias("a_role"),
+        F.col("b.role").alias("b_role"),
+        F.col("a.first_ts").alias("a_first_ts"),
+        F.col("a.last_ts").alias("a_last_ts"),
+        F.col("b.first_ts").alias("b_first_ts"),
+        F.col("b.last_ts").alias("b_last_ts"),
+    )
+
+
 def derive_contacts(
     transcripts: DataFrame,
     duration_threshold_s: int = DEFAULT_DURATION_THRESHOLD_S,
     session_gap_s: int = DEFAULT_SESSION_GAP_S,
     expiry_cutoff: dt.datetime | None = None,
     include_tool_edges: bool = False,
+    pair_strategy: str = "grouped",
 ) -> DataFrame:
     """transcripts → contacts(src, dst, occurrences).
 
-    Plan shape (scale notes):
+    Plan shape (scale notes), ``pair_strategy="grouped"`` (default):
       1. window sessionization per conv_id          — 1 shuffle on conv_id
       2. per (conv, session, role) span agg         — reuses the same
          hash partitioning (conv_id prefix), partial agg map-side
-      3. equi self-join on (conv_id, session_id)    — blocked pair gen;
-         AQE handles stragglers, participants/session is small by schema
+      3. per (conv, session) participant collect +
+         higher-order pair expansion                — zero extra shuffles,
+         single evaluation of 1-2 (the self-join formulation evaluated
+         the whole span pipeline TWICE, one per join side)
       4. groupBy(src, dst) occurrence merge (A5)    — 1 shuffle on the pair
+
+    ``pair_strategy="join"`` keeps the blocked equi self-join for corpora
+    whose sessions are pathologically large (see :func:`_pairs_join`).
     """
+    if pair_strategy not in ("grouped", "join"):
+        raise ValueError(f"unknown pair_strategy {pair_strategy!r}")
     spans = (
         sessionize(transcripts, session_gap_s)
         .groupBy("conv_id", "session_id", "role")
         .agg(F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts"))
     )
 
-    a, b = spans.alias("a"), spans.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.conv_id") == F.col("b.conv_id"))
-        & (F.col("a.session_id") == F.col("b.session_id"))
-        & (F.col("a.role") < F.col("b.role")),
-    )
+    pairs = (_pairs_grouped if pair_strategy == "grouped" else _pairs_join)(spans)
 
-    start = F.greatest(F.col("a.first_ts"), F.col("b.first_ts"))
-    end = F.least(F.col("a.last_ts"), F.col("b.last_ts"))
+    start = F.greatest(F.col("a_first_ts"), F.col("b_first_ts"))
+    end = F.least(F.col("a_last_ts"), F.col("b_last_ts"))
     duration_s = _epoch_s(end) - _epoch_s(start)
 
     occ = pairs.select(
-        F.col("a.role").alias("src"),
-        F.col("b.role").alias("dst"),
+        F.col("a_role").alias("src"),
+        F.col("b_role").alias("dst"),
         F.struct(
             start.alias("time"), (duration_s * 1000).cast("long").alias("duration_ms")
         ).alias("occurrence"),
@@ -141,20 +197,18 @@ def _tool_cooccurrence(
         .groupBy("conv_id", "session_id", "tool", "role")
         .agg(F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts"))
     )
-    a, b = spans.alias("a"), spans.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.conv_id") == F.col("b.conv_id"))
-        & (F.col("a.session_id") == F.col("b.session_id"))
-        & (F.col("a.tool") == F.col("b.tool"))
-        & (F.col("a.role") < F.col("b.role")),
+    g = spans.groupBy("conv_id", "session_id", "tool").agg(
+        F.array_sort(
+            F.collect_list(F.struct("role", "first_ts", "last_ts"))
+        ).alias("ps")
     )
-    start = F.greatest(F.col("a.first_ts"), F.col("b.first_ts"))
-    end = F.least(F.col("a.last_ts"), F.col("b.last_ts"))
+    pairs = g.select(F.explode(F.expr(_PAIR_EXPAND)).alias("p"))
+    start = F.greatest(F.col("p.a.first_ts"), F.col("p.b.first_ts"))
+    end = F.least(F.col("p.a.last_ts"), F.col("p.b.last_ts"))
     duration_s = _epoch_s(end) - _epoch_s(start)
     return pairs.select(
-        F.col("a.role").alias("src"),
-        F.col("b.role").alias("dst"),
+        F.col("p.a.role").alias("src"),
+        F.col("p.b.role").alias("dst"),
         F.struct(
             start.alias("time"), (duration_s * 1000).cast("long").alias("duration_ms")
         ).alias("occurrence"),

@@ -101,3 +101,26 @@ def test_pagerank_superstep_plan_shape(spark, tmp_path):
     assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan  # cached edges
     edges_w.unpersist()
     v.unpersist()
+
+
+def test_derive_contacts_single_scan_two_shuffles(spark):
+    """The grouped pair strategy must evaluate the span pipeline ONCE
+    (the old self-join formulation planned it per join side — a double
+    transcript scan at 100 TB) and shuffle exactly twice: once into
+    conv_id windows, once into the (src, dst) merge."""
+    from sharetrace_giraph_spark import datagen
+    from sharetrace_giraph_spark.operators.edges import derive_contacts
+
+    t = datagen.generate_transcripts(
+        spark, n_convs=50, turns_per_conv=8, n_actors=20,
+        n_communities=4, n_hubs=1, seed=3,
+    )
+    plan = _plan(derive_contacts(t))
+    ops = [ln for ln in plan.splitlines() if ln.strip().startswith("(")]
+    n_shuffle = sum(1 for ln in ops if "Exchange" in ln and "Broadcast" not in ln)
+    n_window = sum(1 for ln in ops if "Window" in ln)
+    assert n_shuffle <= 2, plan
+    # sessionize = 2 fused-window ops (lag + running sum); doubled means
+    # the span subtree got planned twice again
+    assert n_window <= 2, plan
+    assert "Join" not in plan  # pair generation is a higher-order expansion
