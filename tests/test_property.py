@@ -87,3 +87,35 @@ def test_connected_components_exact_on_random_graphs(spark, tmp_path_factory, ra
     exp = cc_py(sorted(canon), verts_py)
     assert got == exp
     assert res.converged
+
+
+@given(st.lists(turn_strategy, min_size=1, max_size=30))
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture])
+def test_pair_strategies_equivalent(spark, raw):
+    """grouped (single-pass higher-order expansion) and join (blocked
+    self-join) pair strategies must be occurrence-for-occurrence equal."""
+    by_conv: dict = {}
+    for conv, role, ts in raw:
+        by_conv.setdefault(conv, []).append((ts, role))
+    rows = []
+    for conv, turns in by_conv.items():
+        for idx, (ts, role) in enumerate(sorted(turns)):
+            rows.append((f"c{conv}", idx, role, ts))
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, ts_s long"
+    ).withColumn("ts", F.timestamp_seconds("ts_s")).drop("ts_s")
+
+    def norm(contacts):
+        return {
+            (r.src, r.dst): sorted(
+                (int(o.time.timestamp()), o.duration_ms) for o in r.occurrences
+            )
+            for r in contacts.collect()
+        }
+
+    a = norm(E.derive_contacts(df, duration_threshold_s=300, session_gap_s=600,
+                               pair_strategy="grouped"))
+    b = norm(E.derive_contacts(df, duration_threshold_s=300, session_gap_s=600,
+                               pair_strategy="join"))
+    assert a == b
