@@ -730,6 +730,31 @@ def q_multimodal_frames(spark, sf_dir):
     return sample_frames(synthesize_media(d)).orderBy("doc_id", "frame_idx")
 
 
+def q_multimodal_resize(spark, sf_dir):
+    """Resize/downsample plumbing: even-stride byte subsample to a 96-byte
+    budget via mapInPandas (deterministic decode stand-in); ASCII corpus
+    lets DuckDB replay the stride rule character-wise."""
+    from sharetrace_giraph_spark.operators.multimodal import resize_media, synthesize_media
+
+    d = _t(spark, sf_dir, "documents")
+    return resize_media(synthesize_media(d), target_bytes=96).orderBy("doc_id")
+
+
+def q_quantiles(spark, sf_dir):
+    """Exact linear-interpolation quantiles (generic OLAP agg surface the
+    reference lacks, like rollup): per event type, p50/p95 of value."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+            F.round(F.percentile("value", F.lit(0.95)), 6).alias("p95"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def q_multimodal_stats(spark, sf_dir):
     """Per-kind media stats (pure relational over the media table)."""
     from sharetrace_giraph_spark.operators.multimodal import media_stats, synthesize_media
@@ -789,7 +814,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_frames": q_multimodal_frames,
+        "multimodal_resize": q_multimodal_resize,
         "multimodal_stats": q_multimodal_stats,
+        "quantiles": q_quantiles,
     }
 
 
@@ -1451,6 +1478,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST(octet_length(encode(chunk)) AS BIGINT) AS frame_bytes,
                    md5(chunk) AS frame_md5
             FROM f ORDER BY doc_id, frame_idx
+        """,
+        "multimodal_resize": """
+            WITH m AS (
+                SELECT doc_id,
+                       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                            ELSE 'video' END AS kind,
+                       text,
+                       octet_length(encode(text)) AS n
+                FROM documents
+            ), r AS (
+                SELECT doc_id, kind,
+                       CASE WHEN n <= 96 THEN text
+                       ELSE array_to_string(list_transform(
+                           generate_series(0,
+                               CAST(ceil(CAST(n AS DOUBLE)
+                                    / ceil(CAST(n AS DOUBLE) / 96)) - 1 AS BIGINT)),
+                           i -> substring(text,
+                               CAST(i * ceil(CAST(n AS DOUBLE) / 96) + 1 AS INT), 1)), '')
+                       END AS sub
+                FROM m
+            )
+            SELECT doc_id, kind,
+                   CAST(octet_length(encode(sub)) AS BIGINT) AS out_bytes,
+                   md5(sub) AS out_md5
+            FROM r ORDER BY doc_id
+        """,
+        "quantiles": """
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(quantile_cont(value, 0.5), 6) AS p50,
+                   round(quantile_cont(value, 0.95), 6) AS p95
+            FROM events GROUP BY event_type ORDER BY event_type
         """,
         "multimodal_stats": """
             SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'

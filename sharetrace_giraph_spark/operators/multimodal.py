@@ -162,6 +162,49 @@ def sample_frames(
     return media.mapInPandas(batches, FRAME_SCHEMA)
 
 
+RESIZE_SCHEMA = "doc_id long, kind string, out_bytes long, out_md5 string"
+
+
+def resize_media(media: DataFrame, target_bytes: int = 96) -> DataFrame:
+    """Resize/downsample plumbing: payload → fixed-budget representation.
+
+    The real pipeline decodes and resizes pixels/samples; this container's
+    deterministic stand-in subsamples the payload bytes at an even stride
+    to ``target_bytes`` (shorter payloads pass through). The Spark side —
+    Arrow batches via ``mapInPandas``, binary in/out, stable output
+    schema — is the real contract a decoder drops into.
+
+    Stride rule (replayed by the DuckDB oracle): if n <= target, keep all
+    bytes; else keep bytes at offsets i*ceil(n/target) for i = 0.. while
+    the offset < n (yields <= target bytes, evenly spread).
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in it:
+            out_bytes, out_md5 = [], []
+            for payload in pdf["payload"]:
+                n = len(payload)
+                if n <= target_bytes:
+                    sub = payload
+                else:
+                    step = -(-n // target_bytes)  # ceil
+                    sub = payload[::step]
+                out_bytes.append(len(sub))
+                out_md5.append(hashlib.md5(sub).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "kind": pdf["kind"],
+                    "out_bytes": out_bytes,
+                    "out_md5": out_md5,
+                }
+            )
+
+    return media.mapInPandas(batches, RESIZE_SCHEMA)
+
+
 def media_stats(media: DataFrame) -> DataFrame:
     """Pure-relational metadata aggregation (no Python): per kind, count,
     total/mean payload bytes."""

@@ -233,3 +233,18 @@ def test_sample_frames_plumbing(spark, docs):
             chunk = payload[r.frame_offset : r.frame_offset + 64]
             assert r.frame_bytes == len(chunk)
             assert r.frame_md5 == hashlib.md5(chunk).hexdigest()
+
+
+def test_resize_media_stride_rule(spark, docs):
+    """Even-stride subsample: <= 96 bytes out, byte-exact vs Python."""
+    import hashlib
+
+    media = multimodal.synthesize_media(docs.limit(20))
+    out = {r.doc_id: r for r in multimodal.resize_media(media, target_bytes=96).collect()}
+    for r in docs.limit(20).collect():
+        payload = r.text.encode()
+        n = len(payload)
+        sub = payload if n <= 96 else payload[:: -(-n // 96)]
+        got = out[r.doc_id]
+        assert got.out_bytes == len(sub) <= 96
+        assert got.out_md5 == hashlib.md5(sub).hexdigest()
