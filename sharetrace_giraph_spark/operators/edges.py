@@ -104,7 +104,11 @@ def _pairs_join(spans: DataFrame) -> DataFrame:
     second evaluation of the span pipeline (Catalyst plans self-join
     branches independently) but distributes a single giant session's
     quadratic pair fan-out across tasks instead of one executor row —
-    choose it for corpora with pathologically large sessions."""
+    choose it for corpora with pathologically large sessions. Measured on
+    150 conversations × ~700 turns each (near-complete 150-actor
+    sessions, 1.06M pairs): join 6.8-8.7s vs grouped 11-15s at local[32];
+    on 15k small conversations the ranking flips (grouped evaluates the
+    transcript scan once and adds zero shuffles)."""
     a, b = spans.alias("a"), spans.alias("b")
     return a.join(
         b,
