@@ -769,6 +769,87 @@ def q_multimodal_stats(spark, sf_dir):
     return media_stats(synthesize_media(_t(spark, sf_dir, "documents")))
 
 
+_STREAM_SEQ = iter(range(1, 1 << 30))  # unique memory-sink names per session
+
+
+def _stream_path(sf_dir: str, name: str) -> str:
+    """File-stream-source path for a testdata table. The source requires a
+    DIRECTORY basePath; driver tables are single parquet files, so wrap the
+    last character in a one-char glob — basePath then resolves to the
+    parent directory while matching exactly the one file. A real
+    deployment points this at the table directory."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.isdir(path):
+        return path
+    return f"{path[:-1]}[{path[-1]}]"
+
+
+def _drain_stream(agg: DataFrame, output_mode: str) -> DataFrame:
+    """Run a streaming aggregation to completion on the file source
+    (``trigger(availableNow=True)``) into a memory sink; return the sink
+    table. Finite drain — the driver's batch-collect contract holds."""
+    name = f"stgs_stream_{next(_STREAM_SEQ)}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return agg.sparkSession.table(name)
+
+
+def q_streaming_windowed(spark, sf_dir):
+    """Structured Streaming (§2.9, beyond the reference — it has none):
+    event-time tumbling 1-hour windows over the events FILE STREAM, counts
+    per (window, event_type), complete output mode. On a finite
+    ``availableNow`` drain, complete mode snapshots every window, so the
+    result is bit-equal to the batch GROUP BY — which is exactly what the
+    DuckDB oracle replays. Timestamps leave as unix seconds (longs)."""
+    from sharetrace_giraph_spark.streaming.windowed import windowed_counts
+
+    schema = _t(spark, sf_dir, "events").schema
+    stream = spark.readStream.schema(schema).parquet(_stream_path(sf_dir, "events"))
+    res = _drain_stream(
+        windowed_counts(stream, "event_type", count_name="n_events"), "complete"
+    )
+    return res.select(
+        F.unix_timestamp("win_start").alias("win_start_s"),
+        F.unix_timestamp("win_end").alias("win_end_s"),
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+    )
+
+
+def q_streaming_sessionize(spark, sf_dir):
+    """Custom stateful streaming operator (``applyInPandasWithState``):
+    the W4 gaps-and-islands sessionizer with explicit per-conversation
+    (last_ts, next_session_id) state, drained over the events stream
+    (conversation = user, 1-hour gap). A single-batch in-order drain is
+    bit-equal to the batch sessionizer, so the oracle is the same
+    windowed-SQL gaps-and-islands the batch query uses."""
+    from sharetrace_giraph_spark.streaming.windowed import stateful_sessionize
+
+    schema = _t(spark, sf_dir, "events").schema
+    stream = spark.readStream.schema(schema).parquet(
+        _stream_path(sf_dir, "events")
+    ).select(
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("conv_id"),
+        F.pmod("event_id", F.lit(2147483647)).cast("int").alias("turn_idx"),
+        F.col("event_type").alias("role"),
+        F.col("ts"),
+    )
+    res = _drain_stream(stateful_sessionize(stream, session_gap_s=3600), "append")
+    return res.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        F.unix_timestamp("ts").alias("ts_s"),
+        F.col("session_id").cast("long").alias("session_id"),
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -824,6 +905,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_resize": q_multimodal_resize,
         "multimodal_stats": q_multimodal_stats,
         "quantiles": q_quantiles,
+        # structured streaming (finite availableNow drains of the same
+        # parquet inputs; results are batch-equivalent, hence oracle-able)
+        "streaming_windowed": q_streaming_windowed,
+        "streaming_sessionize": q_streaming_sessionize,
     }
 
 
@@ -1525,5 +1610,37 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
                    round(avg(octet_length(encode(text))), 6) AS mean_bytes
             FROM documents GROUP BY 1 ORDER BY kind
+        """,
+        # complete-mode windowed streaming agg on a finite drain ≡ batch
+        # GROUP BY over 1-hour tumbling windows (UTC-aligned, as Spark's
+        # window() origin is the epoch)
+        "streaming_windowed": """
+            SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS win_start_s,
+                   CAST(epoch(date_trunc('hour', ts)) AS BIGINT) + 3600 AS win_end_s,
+                   event_type,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM events GROUP BY 1, 2, 3
+        """,
+        # single-batch in-order drain of the stateful sessionizer ≡ the
+        # batch gaps-and-islands (same rule as the `sessionize` oracle)
+        "streaming_sessionize": """
+            WITH t AS (
+                SELECT 'u' || CAST(user_id AS VARCHAR) AS conv_id,
+                       CAST(event_id % 2147483647 AS INTEGER) AS turn_idx,
+                       event_type AS role, ts
+                FROM events
+            ), g AS (
+                SELECT conv_id, turn_idx, role, ts,
+                       CASE WHEN floor(epoch(ts)) - lag(floor(epoch(ts))) OVER
+                                (PARTITION BY conv_id ORDER BY ts, turn_idx)
+                                > 3600 THEN 1 ELSE 0 END AS brk
+                FROM t
+            )
+            SELECT conv_id, turn_idx, role,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+                   CAST(sum(brk) OVER (PARTITION BY conv_id
+                        ORDER BY ts, turn_idx ROWS UNBOUNDED PRECEDING)
+                        AS BIGINT) AS session_id
+            FROM g
         """,
     }

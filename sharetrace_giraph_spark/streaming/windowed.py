@@ -41,6 +41,36 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from ..datagen import TRANSCRIPTS_SCHEMA
 
 
+def windowed_counts(
+    stream: DataFrame,
+    key_col: str,
+    ts_col: str = "ts",
+    window_duration: str = "1 hour",
+    watermark_delay: str | None = None,
+    count_name: str = "n",
+) -> DataFrame:
+    """Event-time tumbling-window counts per (window, ``key_col``).
+
+    With a ``watermark_delay`` it runs in append mode (a window emits once,
+    when the watermark passes its end — late data tolerated up to the
+    delay). Without one it is the complete-mode shape: every window is live
+    until the sink snapshots it, which on a finite drain
+    (``trigger(availableNow=True)``) makes the result bit-equal to the
+    batch ``GROUP BY`` — the property the driver oracle checks.
+    """
+    src = stream.withWatermark(ts_col, watermark_delay) if watermark_delay else stream
+    return (
+        src.groupBy(F.window(ts_col, window_duration).alias("win"), key_col)
+        .agg(F.count(F.lit(1)).alias(count_name))
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            key_col,
+            count_name,
+        )
+    )
+
+
 def windowed_turn_counts(
     stream: DataFrame,
     window_duration: str = "1 hour",
@@ -48,16 +78,8 @@ def windowed_turn_counts(
 ) -> DataFrame:
     """Event-time tumbling windows over a transcripts stream: per
     (window, role) turn count, late data tolerated up to the watermark."""
-    return (
-        stream.withWatermark("ts", watermark_delay)
-        .groupBy(F.window("ts", window_duration).alias("win"), "role")
-        .agg(F.count(F.lit(1)).alias("n_turns"))
-        .select(
-            F.col("win.start").alias("win_start"),
-            F.col("win.end").alias("win_end"),
-            "role",
-            "n_turns",
-        )
+    return windowed_counts(
+        stream, "role", "ts", window_duration, watermark_delay, "n_turns"
     )
 
 
@@ -79,7 +101,14 @@ def _session_kernel(session_gap_s: int):
             last_ts, next_sid = state.get
         else:
             last_ts, next_sid = None, 0
-        for pdf in pdfs:
+        # concat the group's Arrow chunks BEFORE sorting: within one
+        # micro-batch the chunk order follows shuffle order, not event
+        # time, so per-chunk sorting would be order-dependent once a
+        # conversation spans multiple record batches. Memory is bounded
+        # by turns-per-conversation-per-micro-batch.
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True)
             pdf = pdf.sort_values(["ts", "turn_idx"], kind="stable")
             epochs = (pdf["ts"].astype("int64") // 1_000_000_000).tolist()
             sids = []
