@@ -164,6 +164,25 @@ def q_graph_lpa(spark, sf_dir):
     )
 
 
+def q_graph_bfs(spark, sf_dir):
+    """Hop distance from the lexicographically smallest actor, in role
+    space. The frontier superstep loop settles hop k at superstep k, so
+    DuckDB can replay it as a depth-bounded recursive CTE + min(d)."""
+    from sharetrace_giraph_spark.algorithms import UNREACHED, bfs
+    from sharetrace_giraph_spark.operators import edges as E
+
+    contacts, verts, enc = _graph(spark, sf_dir)
+    seed = verts.orderBy("role").limit(1).select("vertex_id")
+    res = bfs(spark, E.undirect(enc), verts, seed, _ckpt(), run_id="qb",
+              max_supersteps=50)
+    return (
+        res.state.where(F.col("dist") < UNREACHED)
+        .join(verts, "vertex_id")
+        .select("role", F.col("dist").cast("long").alias("dist"))
+        .orderBy("role")
+    )
+
+
 def q_graph_triangles(spark, sf_dir):
     from sharetrace_giraph_spark.algorithms import triangles
     from sharetrace_giraph_spark.operators import edges as E
@@ -860,6 +879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_cc": q_graph_cc,
         "graph_cc_doubling": q_graph_cc_doubling,
         "graph_lpa": q_graph_lpa,
+        "graph_bfs": q_graph_bfs,
         "graph_triangles": q_graph_triangles,
         "graph_risk_prop": q_graph_risk_prop,
         # relational surface with DuckDB oracles
@@ -1183,6 +1203,19 @@ _EMBEDDING_NEAR_DUP_ORACLE = """
 """
 
 
+_BFS_ORACLE = f"""
+    WITH RECURSIVE {_EDGE_CTES},
+    walk(v, d) AS (
+        SELECT role, 0 FROM verts WHERE role = (SELECT min(role) FROM verts)
+        UNION
+        SELECT e.dst, w.d + 1 FROM walk w JOIN edges_u e ON e.src = w.v
+        WHERE w.d < 50
+    )
+    SELECT v AS role, CAST(min(d) AS BIGINT) AS dist FROM walk
+    GROUP BY v ORDER BY role
+"""
+
+
 _CC_ORACLE = f"""
     WITH RECURSIVE {_EDGE_CTES},
     reach(v, m) AS (
@@ -1219,6 +1252,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_cc": _CC_ORACLE,
         "graph_cc_doubling": _CC_ORACLE,
         "graph_lpa": _lpa_oracle(),
+        "graph_bfs": _BFS_ORACLE,
         "graph_triangles": _TRIANGLES_ORACLE,
         "graph_risk_prop": _risk_prop_oracle(),
         "dedup_minhash_lsh": _MINHASH_LSH_ORACLE,

@@ -1,3 +1,4 @@
+from .bfs import UNREACHED, bfs
 from .connected_components import connected_components
 from .label_propagation import label_propagation
 from .pagerank import pagerank
@@ -5,6 +6,8 @@ from .risk_propagation import final_scores, init_state, risk_propagation
 from .triangle_count import triangles
 
 __all__ = [
+    "bfs",
+    "UNREACHED",
     "connected_components",
     "label_propagation",
     "pagerank",

@@ -199,3 +199,24 @@ def risk_prop_py(
         best = max(ss, key=lambda s: (s[1], s[0], s[2]))
         out[a] = (best[1], best[0])  # (value, update_time_s)
     return state, out
+
+
+def bfs_py(edges, vertices, sources):
+    """Plain BFS hop distance from a source set over the undirected graph
+    (edges given canonical src<dst; both directions walked). Unreached
+    vertices are absent from the result."""
+    from collections import deque
+
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    dist = {s: 0 for s in sources if s in set(vertices)}
+    dq = deque(dist)
+    while dq:
+        v = dq.popleft()
+        for u in adj.get(v, ()):
+            if u not in dist:
+                dist[u] = dist[v] + 1
+                dq.append(u)
+    return dist

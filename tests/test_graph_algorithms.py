@@ -214,3 +214,69 @@ def test_lpa_salted_matches_unsalted(spark, medium_graph, ckpt):
     )
     got = {r.vertex_id: r.label for r in res.state.collect()}
     assert got == lpa_py(edge_list, _vertices_of(edge_list), max_iters=5)
+
+
+def test_bfs_exact(spark, tiny_graph, medium_graph, ckpt):
+    """Hop distances from the min vertex match plain-Python BFS exactly;
+    unreached vertices stay at the sentinel."""
+    from sharetrace_giraph_spark.algorithms import UNREACHED, bfs
+    from .reference_impl import bfs_py
+
+    for name, (verts, enc, edge_list) in {
+        "tiny": (tiny_graph[1], tiny_graph[2], tiny_graph[4]),
+        "medium": (medium_graph[1], medium_graph[2], medium_graph[3]),
+    }.items():
+        vs = _vertices_of(edge_list)
+        seed = spark.createDataFrame([(vs[0],)], "vertex_id long")
+        res = bfs(spark, E.undirect(enc), verts, seed, ckpt,
+                  run_id=f"bfs-{name}", max_supersteps=100)
+        assert res.converged, name
+        got = {r.vertex_id: r.dist for r in res.state.collect() if r.dist < UNREACHED}
+        assert got == bfs_py(edge_list, vs, [vs[0]]), name
+
+
+def test_bfs_multi_source_and_wavefront(spark, ckpt):
+    """Path graph, sources at both ends: distances meet in the middle, and
+    the superstep count equals the source-set eccentricity + 1 (the
+    frontier IS the BFS wavefront — hop k settles at superstep k)."""
+    from sharetrace_giraph_spark.algorithms import UNREACHED, bfs
+    from .reference_impl import bfs_py
+
+    V = 16
+    canon = spark.createDataFrame(
+        [(i, i + 1) for i in range(V - 1)], "src long, dst long"
+    )
+    verts = spark.createDataFrame([(i,) for i in range(V)], "vertex_id long")
+    seeds = spark.createDataFrame([(0,), (V - 1,)], "vertex_id long")
+    res = bfs(spark, E.undirect(canon), verts, seeds, ckpt,
+              run_id="bfs-path", max_supersteps=V + 5, checkpoint_every=4)
+    assert res.converged
+    got = {r.vertex_id: r.dist for r in res.state.collect()}
+    exp = bfs_py([(i, i + 1) for i in range(V - 1)], list(range(V)), [0, V - 1])
+    assert got == exp
+    ecc = max(exp.values())  # = (V-1)//2 from the two ends
+    assert res.supersteps_run == ecc + 1, res.supersteps_run
+
+
+def test_bfs_disconnected_and_salted(spark, ckpt):
+    """Two components: the unreached one keeps the sentinel; hub salting
+    must not change any distance (min is decomposable)."""
+    from sharetrace_giraph_spark.algorithms import UNREACHED, bfs
+    from .reference_impl import bfs_py
+
+    edges = [(0, 1), (1, 2), (0, 2), (0, 3), (5, 6), (6, 7)]
+    canon = spark.createDataFrame(edges, "src long, dst long")
+    verts = spark.createDataFrame([(i,) for i in range(8)], "vertex_id long")
+    seed = spark.createDataFrame([(0,)], "vertex_id long")
+    exp = bfs_py(edges, list(range(8)), [0])
+    for run_id, salt in (("bfs-disc", None), ("bfs-salt", 2)):
+        res = bfs(spark, E.undirect(canon), verts, seed, ckpt,
+                  run_id=run_id, max_supersteps=20,
+                  salt_threshold=salt, salts=4)
+        assert res.converged
+        reached = {r.vertex_id: r.dist for r in res.state.collect()
+                   if r.dist < UNREACHED}
+        unreached = {r.vertex_id for r in res.state.collect()
+                     if r.dist >= UNREACHED}
+        assert reached == exp, run_id
+        assert unreached == {4, 5, 6, 7}, run_id
