@@ -192,6 +192,49 @@ def q_graph_triangles(spark, sf_dir):
     return per_vertex.join(verts, "vertex_id").select("role", "n_triangles").orderBy("role")
 
 
+def q_graph_clustering(spark, sf_dir):
+    """Local clustering coefficient per actor (skew-safe: derived from the
+    degree-oriented triangle enumeration, not per-vertex neighborhoods)."""
+    from sharetrace_giraph_spark.algorithms import clustering_coefficient
+    from sharetrace_giraph_spark.operators import edges as E
+
+    contacts, verts, enc = _graph(spark, sf_dir)
+    res = clustering_coefficient(spark, enc, verts)
+    return (
+        res.join(verts, "vertex_id")
+        .select(
+            "role",
+            F.col("deg").cast("long").alias("deg"),
+            F.col("n_triangles").cast("long").alias("n_triangles"),
+            F.round("lcc", 9).alias("lcc"),
+        )
+        .orderBy("role")
+    )
+
+
+def q_graph_edge_jaccard(spark, sf_dir):
+    """Neighborhood Jaccard per contact edge (link-prediction score), in
+    role space; common-neighbor counts credited from the triangle list."""
+    from sharetrace_giraph_spark.algorithms import edge_jaccard
+    from sharetrace_giraph_spark.operators import edges as E
+
+    contacts, verts, enc = _graph(spark, sf_dir)
+    res = edge_jaccard(enc)
+    vsrc = verts.select(F.col("vertex_id").alias("src"), F.col("role").alias("src_role"))
+    vdst = verts.select(F.col("vertex_id").alias("dst"), F.col("role").alias("dst_role"))
+    return (
+        res.join(vsrc, "src")
+        .join(vdst, "dst")
+        .select(
+            "src_role",
+            "dst_role",
+            "n_common",
+            F.round("jaccard", 9).alias("jaccard"),
+        )
+        .orderBy("src_role", "dst_role")
+    )
+
+
 def q_graph_risk_prop(spark, sf_dir):
     from sharetrace_giraph_spark.algorithms import final_scores, risk_propagation
 
@@ -881,6 +924,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_lpa": q_graph_lpa,
         "graph_bfs": q_graph_bfs,
         "graph_triangles": q_graph_triangles,
+        "graph_clustering": q_graph_clustering,
+        "graph_edge_jaccard": q_graph_edge_jaccard,
         "graph_risk_prop": q_graph_risk_prop,
         # relational surface with DuckDB oracles
         "expiry_filter": q_expiry_filter,
@@ -1216,6 +1261,57 @@ _BFS_ORACLE = f"""
 """
 
 
+_CLUSTERING_ORACLE = f"""
+    WITH {_EDGE_CTES},
+    tri AS (
+        SELECT a.src AS x, a.dst AS y, b.dst AS z
+        FROM edges_c a
+        JOIN edges_c b ON b.src = a.dst
+        JOIN edges_c c ON c.src = a.src AND c.dst = b.dst
+    ),
+    pv AS (
+        SELECT v, count(*) AS n FROM (
+            SELECT x AS v FROM tri
+            UNION ALL SELECT y AS v FROM tri
+            UNION ALL SELECT z AS v FROM tri
+        ) GROUP BY v
+    ),
+    deg AS (SELECT src AS v, count(*) AS deg FROM edges_u GROUP BY src)
+    SELECT verts.role,
+           CAST(coalesce(deg.deg, 0) AS BIGINT) AS deg,
+           CAST(coalesce(pv.n, 0) AS BIGINT) AS n_triangles,
+           round(CASE WHEN coalesce(deg.deg, 0) >= 2
+                      THEN 2.0 * coalesce(pv.n, 0) / (deg.deg * (deg.deg - 1))
+                      ELSE 0.0 END, 9) AS lcc
+    FROM verts
+    LEFT JOIN pv ON verts.role = pv.v
+    LEFT JOIN deg ON verts.role = deg.v
+    ORDER BY role
+"""
+
+
+_EDGE_JACCARD_ORACLE = f"""
+    WITH {_EDGE_CTES},
+    common AS (
+        SELECT e.src, e.dst, count(*) AS n_common
+        FROM edges_c e
+        JOIN edges_u a ON a.src = e.src
+        JOIN edges_u b ON b.src = e.dst AND b.dst = a.dst
+        GROUP BY e.src, e.dst
+    ),
+    deg AS (SELECT src AS v, count(*) AS deg FROM edges_u GROUP BY src)
+    SELECT e.src AS src_role, e.dst AS dst_role,
+           CAST(coalesce(c.n_common, 0) AS BIGINT) AS n_common,
+           round(coalesce(c.n_common, 0) * 1.0
+                 / (ds.deg + dd.deg - coalesce(c.n_common, 0)), 9) AS jaccard
+    FROM edges_c e
+    LEFT JOIN common c ON c.src = e.src AND c.dst = e.dst
+    JOIN deg ds ON ds.v = e.src
+    JOIN deg dd ON dd.v = e.dst
+    ORDER BY src_role, dst_role
+"""
+
+
 _CC_ORACLE = f"""
     WITH RECURSIVE {_EDGE_CTES},
     reach(v, m) AS (
@@ -1254,6 +1350,8 @@ def oracle_sql() -> dict[str, str]:
         "graph_lpa": _lpa_oracle(),
         "graph_bfs": _BFS_ORACLE,
         "graph_triangles": _TRIANGLES_ORACLE,
+        "graph_clustering": _CLUSTERING_ORACLE,
+        "graph_edge_jaccard": _EDGE_JACCARD_ORACLE,
         "graph_risk_prop": _risk_prop_oracle(),
         "dedup_minhash_lsh": _MINHASH_LSH_ORACLE,
         "dedup_simhash": _simhash_oracle(),

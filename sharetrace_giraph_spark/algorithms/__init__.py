@@ -3,7 +3,7 @@ from .connected_components import connected_components
 from .label_propagation import label_propagation
 from .pagerank import pagerank
 from .risk_propagation import final_scores, init_state, risk_propagation
-from .triangle_count import triangles
+from .triangle_count import clustering_coefficient, edge_jaccard, triangles
 
 __all__ = [
     "bfs",
@@ -15,4 +15,6 @@ __all__ = [
     "init_state",
     "final_scores",
     "triangles",
+    "clustering_coefficient",
+    "edge_jaccard",
 ]

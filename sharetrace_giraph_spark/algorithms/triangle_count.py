@@ -19,25 +19,24 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 
-def triangles(
-    spark: SparkSession,
-    edges: DataFrame,
-    vertices: DataFrame,
-    num_partitions: int | None = None,
-) -> tuple[int, DataFrame]:
-    """``edges``: canonical undirected (src < dst, one row per pair).
-
-    Returns (global_triangle_count, per_vertex DataFrame(vertex_id, n_triangles)).
-    """
-    e = edges.select("src", "dst").distinct()
-
-    # total degree per vertex (undirected)
-    deg = (
-        e.select(F.col("src").alias("v"))
-        .unionByName(e.select(F.col("dst").alias("v")))
+def undirected_degree(edges: DataFrame) -> DataFrame:
+    """Per-vertex total degree ``(v, deg)`` of a canonical edge set."""
+    return (
+        edges.select(F.col("src").alias("v"))
+        .unionByName(edges.select(F.col("dst").alias("v")))
         .groupBy("v")
         .agg(F.count(F.lit(1)).alias("deg"))
     )
+
+
+def triangle_list(edges: DataFrame) -> DataFrame:
+    """Triangle enumeration ``(a, b, c)`` (each triangle exactly once) via
+    the degree-oriented wedge join; ``edges`` canonical (src < dst). The
+    returned frame is persisted — callers unpersist when done (the
+    per-query frames here live for the session, like the other graph
+    intermediates)."""
+    e = edges.select("src", "dst").distinct()
+    deg = undirected_degree(e)
 
     # orientation order = lexicographic (deg, id) compared directly as a
     # struct — no global rank/sort needed (a row_number() OVER (ORDER BY ...)
@@ -66,7 +65,20 @@ def triangles(
     )
 
     closing = oriented.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
-    tri = wedges.join(closing, ["b", "c"], "inner").persist()
+    return wedges.join(closing, ["b", "c"], "inner").persist()
+
+
+def triangles(
+    spark: SparkSession,
+    edges: DataFrame,
+    vertices: DataFrame,
+    num_partitions: int | None = None,
+) -> tuple[int, DataFrame]:
+    """``edges``: canonical undirected (src < dst, one row per pair).
+
+    Returns (global_triangle_count, per_vertex DataFrame(vertex_id, n_triangles)).
+    """
+    tri = triangle_list(edges)
 
     total = tri.count()
 
@@ -81,3 +93,76 @@ def triangles(
         .select("vertex_id", F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"))
     )
     return total, per_vertex
+
+
+def clustering_coefficient(
+    spark: SparkSession, edges: DataFrame, vertices: DataFrame
+) -> DataFrame:
+    """Local clustering coefficient per vertex:
+    ``lcc = 2·T(v) / (deg(v)·(deg(v)−1))``, 0 when deg < 2.
+
+    Same skew-safe machinery as :func:`triangles` (degree-oriented wedge
+    join — never a per-vertex neighborhood materialization, which explodes
+    on hubs). Returns ``(vertex_id, deg, n_triangles, lcc)``.
+    """
+    e = edges.select("src", "dst").distinct()
+    _, per_vertex = triangles(spark, e, vertices)
+    deg = undirected_degree(e).select(F.col("v").alias("vertex_id"), "deg")
+    return (
+        per_vertex.join(deg, "vertex_id", "left")
+        .select(
+            "vertex_id",
+            F.coalesce("deg", F.lit(0)).alias("deg"),
+            "n_triangles",
+            F.when(
+                F.coalesce("deg", F.lit(0)) >= 2,
+                2.0 * F.col("n_triangles") / (F.col("deg") * (F.col("deg") - 1)),
+            ).otherwise(F.lit(0.0)).alias("lcc"),
+        )
+    )
+
+
+def edge_jaccard(edges: DataFrame) -> DataFrame:
+    """Neighborhood Jaccard similarity per (existing) edge — the classic
+    link-prediction / tie-strength score:
+    ``jaccard(u,v) = |N(u) ∩ N(v)| / |N(u) ∪ N(v)|`` with
+    ``|N(u) ∪ N(v)| = deg(u) + deg(v) − |N(u) ∩ N(v)|`` (u ∈ N(v) and
+    v ∈ N(u), neither is in the intersection — no self-loops).
+
+    The common-neighbor count per edge is derived from the SAME oriented
+    triangle enumeration as :func:`triangles` — each triangle credits its
+    three edges once — so the hot path inherits its skew bound
+    (O(sqrt(E)) oriented out-degree) instead of the naive per-edge
+    N(u) ⋈ N(v) expansion, whose intermediate is Σ_edges deg(u) and
+    explodes on hubs. Returns ``(src, dst, n_common, jaccard)`` for every
+    canonical edge.
+    """
+    e = edges.select("src", "dst").distinct()
+    tri = triangle_list(e)
+    # each triangle's three edges, canonicalized (triangle_list vertex
+    # order is orientation order, not id order)
+    tri_edges = tri.select(
+        F.explode(
+            F.array(
+                F.struct(F.least("a", "b").alias("src"), F.greatest("a", "b").alias("dst")),
+                F.struct(F.least("a", "c").alias("src"), F.greatest("a", "c").alias("dst")),
+                F.struct(F.least("b", "c").alias("src"), F.greatest("b", "c").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+    common = tri_edges.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n_common"))
+    deg = undirected_degree(e)
+    return (
+        e.join(common, ["src", "dst"], "left")
+        .join(deg.select(F.col("v").alias("src"), F.col("deg").alias("src_deg")), "src")
+        .join(deg.select(F.col("v").alias("dst"), F.col("deg").alias("dst_deg")), "dst")
+        .select(
+            "src",
+            "dst",
+            F.coalesce("n_common", F.lit(0)).cast("long").alias("n_common"),
+            (
+                F.coalesce("n_common", F.lit(0))
+                / (F.col("src_deg") + F.col("dst_deg") - F.coalesce("n_common", F.lit(0)))
+            ).alias("jaccard"),
+        )
+    )

@@ -280,3 +280,47 @@ def test_bfs_disconnected_and_salted(spark, ckpt):
                      if r.dist >= UNREACHED}
         assert reached == exp, run_id
         assert unreached == {4, 5, 6, 7}, run_id
+
+
+def test_clustering_coefficient_exact(spark, medium_graph, ckpt):
+    """lcc = 2T/(d(d-1)) against a plain adjacency-set computation."""
+    from sharetrace_giraph_spark.algorithms import clustering_coefficient
+
+    _, verts, enc, edge_list = medium_graph
+    adj = {}
+    for u, v in edge_list:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    exp = {}
+    for v, nb in adj.items():
+        d = len(nb)
+        t = sum(1 for a in nb for b in nb if a < b and b in adj.get(a, set()))
+        exp[v] = (d, t, (2.0 * t / (d * (d - 1))) if d >= 2 else 0.0)
+    got = {
+        r.vertex_id: (r.deg, r.n_triangles, r.lcc)
+        for r in clustering_coefficient(spark, enc, verts).collect()
+    }
+    assert set(got) == set(exp)
+    for v in exp:
+        assert got[v][0] == exp[v][0], v
+        assert got[v][1] == exp[v][1], v
+        assert abs(got[v][2] - exp[v][2]) < 1e-12, v
+
+
+def test_edge_jaccard_exact(spark, medium_graph, ckpt):
+    """Per-edge common-neighbor count and Jaccard vs adjacency sets;
+    includes edges in no triangle (n_common = 0)."""
+    from sharetrace_giraph_spark.algorithms import edge_jaccard
+
+    _, verts, enc, edge_list = medium_graph
+    adj = {}
+    for u, v in edge_list:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    got = {(r.src, r.dst): (r.n_common, r.jaccard) for r in edge_jaccard(enc).collect()}
+    assert set(got) == {(min(u, v), max(u, v)) for u, v in edge_list}
+    for (u, v), (nc, jac) in got.items():
+        inter = len(adj[u] & adj[v])
+        union = len(adj[u] | adj[v])
+        assert nc == inter, (u, v)
+        assert abs(jac - inter / union) < 1e-12, (u, v)
