@@ -46,8 +46,14 @@ def main() -> None:
     ap.add_argument(
         "--algorithm",
         required=True,
-        choices=["pagerank", "cc", "lpa", "triangles", "risk_prop"],
+        choices=["pagerank", "cc", "lpa", "triangles", "risk_prop",
+                 "bfs", "clustering", "edge_jaccard"],
     )
+    ap.add_argument("--cc-method", default="frontier", choices=["frontier", "doubling"],
+                    help="cc only: frontier min-label (O(diameter) supersteps) or "
+                    "pointer-doubling (O(log V), high-diameter graphs)")
+    ap.add_argument("--bfs-sources", help="bfs only: comma-separated source roles "
+                    "(default: the lexicographically smallest role)")
     ap.add_argument("--checkpoint-dir", required=True)
     ap.add_argument("--run-id", default="run-0")
     ap.add_argument("--output", required=True)
@@ -96,9 +102,49 @@ def main() -> None:
 
         res = connected_components(
             spark, E.undirect(enc), verts, args.checkpoint_dir, run_id=args.run_id,
-            max_supersteps=args.max_supersteps, resume=resume,
+            max_supersteps=args.max_supersteps, resume=resume, method=args.cc_method,
         )
         out = res.state.join(verts, "vertex_id").select("role", "comp")
+    elif args.algorithm == "bfs":
+        import pyspark.sql.functions as F
+
+        from sharetrace_giraph_spark.algorithms import UNREACHED, bfs
+
+        if args.bfs_sources:
+            roles = [r.strip() for r in args.bfs_sources.split(",") if r.strip()]
+            seed = verts.where(F.col("role").isin(roles)).select("vertex_id")
+        else:
+            seed = verts.orderBy("role").limit(1).select("vertex_id")
+        res = bfs(
+            spark, E.undirect(enc), verts, seed, args.checkpoint_dir,
+            run_id=args.run_id, max_supersteps=args.max_supersteps, resume=resume,
+            salt_threshold=args.salt_threshold,
+        )
+        out = (
+            res.state.where(F.col("dist") < UNREACHED)
+            .join(verts, "vertex_id").select("role", "dist")
+        )
+    elif args.algorithm == "clustering":
+        from sharetrace_giraph_spark.algorithms import clustering_coefficient
+
+        res = None
+        out = (
+            clustering_coefficient(spark, enc, verts)
+            .join(verts, "vertex_id")
+            .select("role", "deg", "n_triangles", "lcc")
+        )
+    elif args.algorithm == "edge_jaccard":
+        import pyspark.sql.functions as F
+
+        from sharetrace_giraph_spark.algorithms import edge_jaccard
+
+        res = None
+        vsrc = verts.select(F.col("vertex_id").alias("src"), F.col("role").alias("src_role"))
+        vdst = verts.select(F.col("vertex_id").alias("dst"), F.col("role").alias("dst_role"))
+        out = (
+            edge_jaccard(enc).join(vsrc, "src").join(vdst, "dst")
+            .select("src_role", "dst_role", "n_common", "jaccard")
+        )
     elif args.algorithm == "lpa":
         from sharetrace_giraph_spark.algorithms import label_propagation
 
