@@ -192,6 +192,45 @@ def q_graph_triangles(spark, sf_dir):
     return per_vertex.join(verts, "vertex_id").select("role", "n_triangles").orderBy("role")
 
 
+def q_graph_ppr(spark, sf_dir):
+    """Weighted PERSONALIZED PageRank: transition probabilities follow the
+    total co-presence duration per contact edge (+1 ms so every live edge
+    keeps positive weight), restart returns to the lexicographically
+    smallest actor. 5 fixed supersteps, replayed exactly by the unrolled
+    weighted CTEs in DuckDB."""
+    from sharetrace_giraph_spark.algorithms import pagerank
+    from sharetrace_giraph_spark.operators import edges as E
+
+    contacts, verts, enc = _graph(spark, sf_dir)
+    wc = contacts.select(
+        "src", "dst",
+        (
+            F.aggregate(
+                "occurrences", F.lit(0).cast("long"),
+                lambda acc, o: acc + o["duration_ms"],
+            ) + 1
+        ).cast("double").alias("w"),
+    )
+    vsrc = verts.select(F.col("role").alias("src"), F.col("vertex_id").alias("src_id"))
+    vdst = verts.select(F.col("role").alias("dst"), F.col("vertex_id").alias("dst_id"))
+    wenc = (
+        wc.join(vsrc, "src").join(vdst, "dst")
+        .select(F.col("src_id").alias("src"), F.col("dst_id").alias("dst"), "w")
+    )
+    wund = wenc.unionByName(
+        wenc.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    )
+    seed = verts.orderBy("role").limit(1).select("vertex_id")
+    res = pagerank(spark, wund, verts, _ckpt(), run_id="qppr",
+                   tolerance=0.0, max_supersteps=5,
+                   weight_col="w", teleport=seed, handle_dangling=False)
+    return (
+        res.state.join(verts, "vertex_id")
+        .select("role", F.round("rank", 9).alias("rank"))
+        .orderBy("role")
+    )
+
+
 def q_graph_clustering(spark, sf_dir):
     """Local clustering coefficient per actor (skew-safe: derived from the
     degree-oriented triangle enumeration, not per-vertex neighborhoods)."""
@@ -919,6 +958,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # graph pipeline (rows-only; golden-fixture-verified in tests/)
         "graph_pagerank": q_graph_pagerank,
+        "graph_ppr": q_graph_ppr,
         "graph_cc": q_graph_cc,
         "graph_cc_doubling": q_graph_cc_doubling,
         "graph_lpa": q_graph_lpa,
@@ -1261,6 +1301,43 @@ _BFS_ORACLE = f"""
 """
 
 
+def _ppr_oracle(supersteps: int = 5, damping: float = 0.85) -> str:
+    """Weighted personalized PageRank unrolled to CTEs p0..pK. Weights =
+    per-contact total co-presence duration (ms) + 1 over the dedup'd
+    occurrence set; restart vector = 1 at the min role. The left-join
+    formulation keeps zero-rank vertices in every step (their rank is
+    (1-d)*pref = 0 for non-seeds until mass reaches them)."""
+    steps = []
+    for k in range(1, supersteps + 1):
+        steps.append(f"""
+    p{k} AS (
+        SELECT v.role,
+               {1.0 - damping} * (CASE WHEN v.role = (SELECT s FROM seed)
+                                       THEN 1.0 ELSE 0.0 END)
+               + {damping} * coalesce(sum(r.pr_rank * e.w / ws.wsum), 0.0)
+                   AS pr_rank
+        FROM verts v
+        LEFT JOIN wu e ON e.dst = v.role
+        LEFT JOIN p{k - 1} r ON r.role = e.src
+        LEFT JOIN wsum ws ON ws.v = e.src
+        GROUP BY v.role
+    )""")
+    return f"""
+        WITH {_EDGE_CTES},
+        w AS (SELECT src, dst, CAST(sum(dur_s) * 1000 + 1 AS DOUBLE) AS w
+              FROM dedup GROUP BY src, dst),
+        wu AS (SELECT src, dst, w FROM w
+               UNION ALL SELECT dst AS src, src AS dst, w FROM w),
+        wsum AS (SELECT src AS v, sum(w) AS wsum FROM wu GROUP BY src),
+        seed AS (SELECT min(role) AS s FROM verts),
+        p0 AS (SELECT role, CASE WHEN role = (SELECT s FROM seed)
+                                 THEN 1.0 ELSE 0.0 END AS pr_rank FROM verts),
+        {",".join(steps)}
+        SELECT role, round(pr_rank, 9) AS rank
+        FROM p{supersteps} ORDER BY role
+    """
+
+
 _CLUSTERING_ORACLE = f"""
     WITH {_EDGE_CTES},
     tri AS (
@@ -1345,6 +1422,7 @@ _TRIANGLES_ORACLE = f"""
 def oracle_sql() -> dict[str, str]:
     return {
         "graph_pagerank": _pagerank_oracle(),
+        "graph_ppr": _ppr_oracle(),
         "graph_cc": _CC_ORACLE,
         "graph_cc_doubling": _CC_ORACLE,
         "graph_lpa": _lpa_oracle(),

@@ -39,14 +39,28 @@ from ..operators.skew import hub_vertices, salted_sum
 from ..plans.superstep import SuperstepDriver, SuperstepResult
 
 
-def _prepare(edges: DataFrame, vertices: DataFrame, num_partitions: int):
-    """Cache iteration-invariant inputs: out-degree-weighted edges and the
+def _prepare(
+    edges: DataFrame,
+    vertices: DataFrame,
+    num_partitions: int,
+    weight_col: str | None = None,
+):
+    """Cache iteration-invariant inputs: transition-weighted edges and the
     vertex universe. ``edges`` must already be directed (use
-    ``operators.edges.undirect`` for contact graphs)."""
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    ``operators.edges.undirect`` for contact graphs).
+
+    ``weight_col``: optional positive edge weight — the per-edge
+    contribution factor becomes ``w / Σ_src w`` (weighted random walk)
+    instead of ``1 / out_deg``."""
+    if weight_col is None:
+        deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("_wsum"))
+        w = F.lit(1.0)
+    else:
+        deg = edges.groupBy("src").agg(F.sum(weight_col).alias("_wsum"))
+        w = F.col(weight_col).cast("double")
     edges_w = (
         edges.join(deg, "src")
-        .select("src", "dst", (F.lit(1.0) / F.col("out_deg")).alias("inv_deg"))
+        .select("src", "dst", (w / F.col("_wsum")).alias("inv_deg"))
         .repartition(num_partitions, "src")
         .persist()
     )
@@ -72,10 +86,29 @@ def pagerank(
     handle_dangling: bool = True,
     resume: bool = True,
     checkpoint_every: int = 1,
+    weight_col: str | None = None,
+    teleport: DataFrame | None = None,
 ) -> SuperstepResult:
-    """Returns SuperstepResult whose state is (vertex_id, rank, delta)."""
+    """Returns SuperstepResult whose state is (vertex_id, rank, delta).
+
+    Generalizations (both orthogonal to the default uniform random walk):
+
+    - ``weight_col``: positive edge-weight column on ``edges`` — the walk
+      follows ``w / Σ w`` transition probabilities (e.g. contact-duration
+      weights), reducing to 1/out_deg when absent.
+    - ``teleport``: DataFrame of seed ``vertex_id`` rows — PERSONALIZED
+      PageRank: the (1−d) restart (and any dangling mass) returns
+      uniformly to the seed set instead of to all vertices. The
+      personalization vector rides in the checkpointed state (one static
+      ``pref`` column), so no extra join per superstep.
+
+    The CSR kernel supports neither (it encodes the uniform walk); pass
+    ``kernel="relational"`` (default) with them.
+    """
+    if kernel == "csr" and (weight_col is not None or teleport is not None):
+        raise ValueError("weight_col/teleport require the relational kernel")
     num_partitions = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    edges_w, verts, n = _prepare(edges, vertices, num_partitions)
+    edges_w, verts, n = _prepare(edges, vertices, num_partitions, weight_col)
 
     hubs = None
     if salt_threshold is not None:
@@ -93,9 +126,27 @@ def pagerank(
         if dangling.isEmpty():
             dangling = None
 
-    init = verts.select(
-        "vertex_id", F.lit(1.0 / n).alias("rank"), F.lit(1.0).alias("delta")
-    )
+    personalized = teleport is not None
+    if personalized:
+        seeds = teleport.select("vertex_id").distinct()
+        n_seeds = seeds.count()
+        if n_seeds == 0:
+            raise ValueError("teleport seed set is empty")
+        init = verts.join(
+            seeds.withColumn("_is_seed", F.lit(True)), "vertex_id", "left"
+        ).select(
+            "vertex_id",
+            F.when(F.col("_is_seed"), F.lit(1.0 / n_seeds)).otherwise(F.lit(0.0)).alias("pref"),
+        ).select(
+            "vertex_id",
+            F.col("pref").alias("rank"),  # walk starts at the seeds
+            F.lit(1.0).alias("delta"),
+            "pref",
+        )
+    else:
+        init = verts.select(
+            "vertex_id", F.lit(1.0 / n).alias("rank"), F.lit(1.0).alias("delta")
+        )
 
     if kernel == "csr":
         blocked = (
@@ -122,13 +173,19 @@ def pagerank(
         else:
             inc = msgs.groupBy("mdst").agg(F.sum("contrib").alias("contrib"))
 
-        base = F.lit((1.0 - damping) / n)
+        # personalization: the restart (and dangling) distribution is the
+        # static pref column riding in the state — no extra join
+        base = (
+            (1.0 - damping) * F.col("pref") if personalized
+            else F.lit((1.0 - damping) / n)
+        )
         # state already covers the full vertex universe (init from verts and
         # every step preserves it), so ONE left join replaces verts ⋈ inc ⋈
         # state — one fewer exchange per superstep
-        joined = state.select(
-            "vertex_id", F.col("rank").alias("old_rank")
-        ).join(inc, F.col("vertex_id") == F.col("mdst"), "left")
+        keep = ["vertex_id", F.col("rank").alias("old_rank")] + (
+            ["pref"] if personalized else []
+        )
+        joined = state.select(*keep).join(inc, F.col("vertex_id") == F.col("mdst"), "left")
         if dangling is not None:
             # in-plan scalar: summed dangling mass as a 1-row broadcast
             dmass = (
@@ -136,7 +193,9 @@ def pagerank(
                 .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dangling_mass"))
             )
             joined = joined.crossJoin(F.broadcast(dmass))
-            extra = damping * F.col("dangling_mass") / n
+            extra = damping * F.col("dangling_mass") * (
+                F.col("pref") if personalized else F.lit(1.0 / n)
+            )
         else:
             extra = F.lit(0.0)
 
@@ -145,6 +204,7 @@ def pagerank(
             "vertex_id",
             new_rank.alias("rank"),
             F.abs(new_rank - F.col("old_rank")).alias("delta"),
+            *(["pref"] if personalized else []),
         )
 
     driver = SuperstepDriver(spark, checkpoint_dir, run_id, "pagerank", num_partitions)

@@ -220,3 +220,34 @@ def bfs_py(edges, vertices, sources):
                 dist[u] = dist[v] + 1
                 dq.append(u)
     return dist
+
+
+def ppr_weighted_py(wedges, vertices, seeds, damping=0.85, iters=5):
+    """Weighted personalized PageRank, synchronous, fixed iteration count.
+    ``wedges``: iterable of DIRECTED (src, dst, w) with w > 0. Restart and
+    dangling mass return uniformly to ``seeds``; the walk starts there.
+    Matches algorithms/pagerank.py with weight_col + teleport
+    superstep-for-superstep."""
+    out_w = defaultdict(float)
+    adj = defaultdict(list)
+    for u, v, w in wedges:
+        out_w[u] += w
+        adj[u].append((v, w))
+    verts = sorted(vertices)
+    pref = {v: (1.0 / len(seeds) if v in set(seeds) else 0.0) for v in verts}
+    rank = dict(pref)
+    for _ in range(iters):
+        contrib = defaultdict(float)
+        dangling = 0.0
+        for v in verts:
+            if not adj.get(v):
+                dangling += rank[v]
+                continue
+            for u, w in adj[v]:
+                contrib[u] += rank[v] * w / out_w[v]
+        rank = {
+            v: (1 - damping) * pref[v]
+            + damping * (contrib.get(v, 0.0) + dangling * pref[v])
+            for v in verts
+        }
+    return rank

@@ -11,6 +11,8 @@ from __future__ import annotations
 
 import pytest
 
+import pyspark.sql.functions as F
+
 from sharetrace_giraph_spark import datagen
 from sharetrace_giraph_spark.algorithms import (
     connected_components,
@@ -324,3 +326,55 @@ def test_edge_jaccard_exact(spark, medium_graph, ckpt):
         union = len(adj[u] | adj[v])
         assert nc == inter, (u, v)
         assert abs(jac - inter / union) < 1e-12, (u, v)
+
+
+def test_pagerank_weighted_personalized(spark, medium_graph, ckpt):
+    """Weighted + personalized PageRank matches the numpy/dict oracle
+    step-for-step; weights are synthetic-but-deterministic per edge."""
+    from sharetrace_giraph_spark.algorithms import pagerank
+    from .reference_impl import ppr_weighted_py
+
+    _, verts, enc, edge_list = medium_graph
+    vs = _vertices_of(edge_list)
+    seeds_py = vs[:3]
+    # deterministic positive weight per canonical edge
+    wcanon = E.undirect(enc).withColumn(
+        "w", (F.pmod(F.xxhash64("src", "dst"), F.lit(7)) + 1).cast("double")
+    )
+    seeds = spark.createDataFrame([(s,) for s in seeds_py], "vertex_id long")
+    res = pagerank(
+        spark, wcanon, verts, ckpt, run_id="ppr-w", max_supersteps=5,
+        tolerance=0.0, weight_col="w", teleport=seeds, handle_dangling=True,
+    )
+    got = {r.vertex_id: r.rank for r in res.state.collect()}
+
+    wedges = [
+        (r.src, r.dst, r.w)
+        for r in wcanon.select("src", "dst", "w").collect()
+    ]
+    exp = ppr_weighted_py(wedges, vs, seeds_py, iters=5)
+    assert set(got) == set(exp)
+    for v in exp:
+        assert abs(got[v] - exp[v]) < 1e-9, v
+    # personalization concentrates mass: total mass stays 1 (no dangling
+    # on the undirected graph) and seeds hold strictly more than uniform
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    assert all(got[s] > 1.0 / len(vs) for s in seeds_py)
+
+
+def test_pagerank_weighted_uniform_weight_reduces_to_default(spark, medium_graph, ckpt):
+    """weight_col with constant weights must equal the unweighted run."""
+    from sharetrace_giraph_spark.algorithms import pagerank
+
+    _, verts, enc, edge_list = medium_graph
+    und = E.undirect(enc)
+    base = pagerank(spark, und, verts, ckpt, run_id="pw-a", max_supersteps=4,
+                    tolerance=0.0)
+    wconst = und.withColumn("w", F.lit(2.5))
+    wres = pagerank(spark, wconst, verts, ckpt, run_id="pw-b", max_supersteps=4,
+                    tolerance=0.0, weight_col="w")
+    a = {r.vertex_id: r.rank for r in base.state.collect()}
+    b = {r.vertex_id: r.rank for r in wres.state.collect()}
+    assert set(a) == set(b)
+    for v in a:
+        assert abs(a[v] - b[v]) < 1e-12, v
