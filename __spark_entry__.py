@@ -64,6 +64,10 @@ def _graph(spark: SparkSession, sf_dir: str):
     # 1.6-1.8x faster with the distributed self-join on this shape).
     while _LAST_CONTACTS:
         _LAST_CONTACTS.pop().unpersist()
+    # release any triangle intermediates the previous graph query cached
+    from sharetrace_giraph_spark.algorithms import triangle_count as _tc
+
+    _tc.release_cached()
     contacts = E.derive_contacts(t, duration_threshold_s=0, session_gap_s=6 * 3600,
                                  pair_strategy="join").persist()
     _LAST_CONTACTS.append(contacts)

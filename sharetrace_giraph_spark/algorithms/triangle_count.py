@@ -19,6 +19,20 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 
+#: persisted intermediates of the most recent triangle_list() calls —
+#: released by release_cached() (callers that fire many per-session
+#: queries, like the driver contract, call it between queries so cached
+#: triangle tables don't accumulate in executor memory)
+_CACHED: list = []
+
+
+def release_cached() -> None:
+    """Unpersist every triangle intermediate still cached. Results built
+    on them stay valid (lineage recomputes), just uncached."""
+    while _CACHED:
+        _CACHED.pop().unpersist()
+
+
 def undirected_degree(edges: DataFrame) -> DataFrame:
     """Per-vertex total degree ``(v, deg)`` of a canonical edge set."""
     return (
@@ -32,9 +46,8 @@ def undirected_degree(edges: DataFrame) -> DataFrame:
 def triangle_list(edges: DataFrame) -> DataFrame:
     """Triangle enumeration ``(a, b, c)`` (each triangle exactly once) via
     the degree-oriented wedge join; ``edges`` canonical (src < dst). The
-    returned frame is persisted — callers unpersist when done (the
-    per-query frames here live for the session, like the other graph
-    intermediates)."""
+    returned frame (and the oriented edge table under it) is persisted and
+    registered for :func:`release_cached`."""
     e = edges.select("src", "dst").distinct()
     deg = undirected_degree(e)
 
@@ -51,6 +64,7 @@ def triangle_list(edges: DataFrame) -> DataFrame:
         F.when(src_lt, F.col("dst")).otherwise(F.col("src")).alias("hi"),
         F.when(src_lt, F.col("dst_deg")).otherwise(F.col("src_deg")).alias("hi_deg"),
     ).persist()
+    _CACHED.append(oriented)
 
     e1, e2 = oriented.alias("e1"), oriented.alias("e2")
     wedges = e1.join(
@@ -65,7 +79,9 @@ def triangle_list(edges: DataFrame) -> DataFrame:
     )
 
     closing = oriented.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
-    return wedges.join(closing, ["b", "c"], "inner").persist()
+    tri = wedges.join(closing, ["b", "c"], "inner").persist()
+    _CACHED.append(tri)
+    return tri
 
 
 def triangles(

@@ -124,3 +124,44 @@ def test_derive_contacts_single_scan_two_shuffles(spark):
     # the span subtree got planned twice again
     assert n_window <= 2, plan
     assert "Join" not in plan  # pair generation is a higher-order expansion
+
+
+def test_edge_jaccard_no_single_partition(spark):
+    """Per-edge Jaccard derives common neighbors from the oriented
+    triangle list — no global sort/window, no single-partition funnel."""
+    from sharetrace_giraph_spark.algorithms import edge_jaccard
+
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 2), (2, 3), (1, 3)], "src long, dst long"
+    )
+    plan = _plan(edge_jaccard(edges))
+    assert "SinglePartition" not in plan
+    assert "row_number" not in plan.lower()
+
+
+def test_bfs_message_agg_partial_final(spark, tmp_path):
+    """One BFS superstep: the frontier message plan keeps the min-combine
+    as partial+final HashAggregate (map-side combine before the shuffle)
+    and nothing plans a SinglePartition exchange."""
+    import pyspark.sql.functions as FF
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(50)], "src long, dst long"
+    )
+    from sharetrace_giraph_spark.operators.edges import undirect
+
+    e = undirect(edges).repartition(8, "src").persist()
+    state = spark.createDataFrame(
+        [(i, 0 if i == 0 else (1 << 62), 1.0 if i == 0 else 0.0) for i in range(51)],
+        "vertex_id long, dist long, delta double",
+    )
+    frontier = state.where(FF.col("delta") > 0.5)
+    msgs = e.join(frontier, e.src == frontier.vertex_id).select(
+        e.dst.alias("mdst"), (FF.col("dist") + 1).alias("nd")
+    )
+    inc = msgs.groupBy("mdst").agg(FF.min("nd").alias("min_nd"))
+    plan = _plan(inc)
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_min" in plan
+    assert "SinglePartition" not in plan
+    e.unpersist()
