@@ -147,6 +147,23 @@ def q_graph_cc_doubling(spark, sf_dir):
     )
 
 
+def q_graph_component_sizes(spark, sf_dir):
+    """Component-size histogram (how many components of each size) — the
+    summary a link-graph health check reads first. Derived from the same
+    CC run; oracle = the recursive-CTE labels aggregated twice."""
+    from sharetrace_giraph_spark.algorithms import connected_components
+    from sharetrace_giraph_spark.operators import edges as E
+
+    contacts, verts, enc = _graph(spark, sf_dir)
+    res = connected_components(spark, E.undirect(enc), verts, _ckpt(),
+                               run_id="qcs", max_supersteps=50)
+    sizes = res.state.groupBy("comp").agg(F.count(F.lit(1)).alias("size"))
+    return (
+        sizes.groupBy("size").agg(F.count(F.lit(1)).alias("n_components"))
+        .orderBy("size")
+    )
+
+
 def q_graph_lpa(spark, sf_dir):
     """Labels reported in ROLE space (see q_graph_cc): the deterministic
     (count desc, label asc) tie-break is order-isomorphic between encoded
@@ -965,6 +982,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_ppr": q_graph_ppr,
         "graph_cc": q_graph_cc,
         "graph_cc_doubling": q_graph_cc_doubling,
+        "graph_component_sizes": q_graph_component_sizes,
         "graph_lpa": q_graph_lpa,
         "graph_bfs": q_graph_bfs,
         "graph_triangles": q_graph_triangles,
@@ -1429,6 +1447,19 @@ def oracle_sql() -> dict[str, str]:
         "graph_ppr": _ppr_oracle(),
         "graph_cc": _CC_ORACLE,
         "graph_cc_doubling": _CC_ORACLE,
+        "graph_component_sizes": f"""
+            WITH RECURSIVE {_EDGE_CTES},
+            reach(v, m) AS (
+                SELECT role, role FROM verts
+                UNION
+                SELECT e.dst, r.m FROM reach r JOIN edges_u e ON e.src = r.v
+            ),
+            labels AS (SELECT v, min(m) AS comp FROM reach GROUP BY v),
+            sizes AS (SELECT comp, count(*) AS size FROM labels GROUP BY comp)
+            SELECT CAST(size AS BIGINT) AS size,
+                   CAST(count(*) AS BIGINT) AS n_components
+            FROM sizes GROUP BY size ORDER BY size
+        """,
         "graph_lpa": _lpa_oracle(),
         "graph_bfs": _BFS_ORACLE,
         "graph_triangles": _TRIANGLES_ORACLE,
