@@ -164,6 +164,27 @@ def q_graph_component_sizes(spark, sf_dir):
     )
 
 
+def q_graph_kcore(spark, sf_dir):
+    """k-core membership flag per actor with k = ceil(0.8·V) — relative so
+    the peeling cascade is non-trivial at every scale factor. The engine
+    peels to fixed point; the oracle unrolls 8 peel rounds (idempotent
+    past the fixed point, which the dense contact graph reaches in <= 4)."""
+    import math
+
+    from sharetrace_giraph_spark.algorithms import k_core
+    from sharetrace_giraph_spark.operators import edges as E
+
+    contacts, verts, enc = _graph(spark, sf_dir)
+    k = math.ceil(0.8 * verts.count())
+    res = k_core(spark, E.undirect(enc), verts, k, _ckpt(), run_id="qkc",
+                 max_supersteps=30)
+    return (
+        res.state.join(verts, "vertex_id")
+        .select("role", F.col("alive").cast("int").alias("in_core"))
+        .orderBy("role")
+    )
+
+
 def q_graph_lpa(spark, sf_dir):
     """Labels reported in ROLE space (see q_graph_cc): the deterministic
     (count desc, label asc) tie-break is order-isomorphic between encoded
@@ -985,6 +1006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_component_sizes": q_graph_component_sizes,
         "graph_lpa": q_graph_lpa,
         "graph_bfs": q_graph_bfs,
+        "graph_kcore": q_graph_kcore,
         "graph_triangles": q_graph_triangles,
         "graph_clustering": q_graph_clustering,
         "graph_edge_jaccard": q_graph_edge_jaccard,
@@ -1323,6 +1345,37 @@ _BFS_ORACLE = f"""
 """
 
 
+def _kcore_oracle(rounds: int = 8) -> str:
+    """Iterative peeling unrolled to CTEs a0..aN: each round keeps the
+    vertices with >= k alive neighbors; extra rounds past the fixed point
+    are idempotent, so any N >= peeling depth replays the engine exactly.
+    k = ceil(0.8 * V), matching q_graph_kcore."""
+    steps = []
+    for r in range(1, rounds + 1):
+        # MATERIALIZED: each round references the previous one TWICE (both
+        # join endpoints must be alive) — DuckDB's default CTE inlining
+        # would expand the chain 2^rounds times
+        steps.append(f"""
+    a{r} AS MATERIALIZED (
+        SELECT a.role FROM a{r - 1} a
+        JOIN edges_u e ON e.src = a.role
+        JOIN a{r - 1} b ON b.role = e.dst
+        GROUP BY a.role
+        HAVING count(*) >= (SELECT k FROM kk)
+    )""")
+    return f"""
+        WITH {_EDGE_CTES},
+        kk AS MATERIALIZED (
+            SELECT CAST(ceil(0.8 * count(*)) AS BIGINT) AS k FROM verts),
+        a0 AS MATERIALIZED (SELECT role FROM verts),
+        {",".join(steps)}
+        SELECT v.role,
+               CASE WHEN s.role IS NOT NULL THEN 1 ELSE 0 END AS in_core
+        FROM verts v LEFT JOIN a{rounds} s ON s.role = v.role
+        ORDER BY v.role
+    """
+
+
 def _ppr_oracle(supersteps: int = 5, damping: float = 0.85) -> str:
     """Weighted personalized PageRank unrolled to CTEs p0..pK. Weights =
     per-contact total co-presence duration (ms) + 1 over the dedup'd
@@ -1462,6 +1515,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "graph_lpa": _lpa_oracle(),
         "graph_bfs": _BFS_ORACLE,
+        "graph_kcore": _kcore_oracle(),
         "graph_triangles": _TRIANGLES_ORACLE,
         "graph_clustering": _CLUSTERING_ORACLE,
         "graph_edge_jaccard": _EDGE_JACCARD_ORACLE,

@@ -1,5 +1,6 @@
 from .bfs import UNREACHED, bfs
 from .connected_components import connected_components
+from .kcore import k_core
 from .label_propagation import label_propagation
 from .pagerank import pagerank
 from .risk_propagation import final_scores, init_state, risk_propagation
@@ -9,6 +10,7 @@ __all__ = [
     "bfs",
     "UNREACHED",
     "connected_components",
+    "k_core",
     "label_propagation",
     "pagerank",
     "risk_propagation",

@@ -251,3 +251,15 @@ def ppr_weighted_py(wedges, vertices, seeds, damping=0.85, iters=5):
             for v in verts
         }
     return rank
+
+
+def k_core_py(edges, vertices, k):
+    """Iterative peeling: the set of vertices in the k-core."""
+    adj = _adj(edges)
+    alive = set(vertices)
+    while True:
+        dead = {v for v in alive
+                if sum(1 for u in adj.get(v, ()) if u in alive) < k}
+        if not dead:
+            return alive
+        alive -= dead

@@ -378,3 +378,36 @@ def test_pagerank_weighted_uniform_weight_reduces_to_default(spark, medium_graph
     assert set(a) == set(b)
     for v in a:
         assert abs(a[v] - b[v]) < 1e-12, v
+
+
+def test_k_core_exact(spark, medium_graph, ckpt):
+    """Peeling fixed point matches the Python oracle at several k,
+    including a cascading one (clique + pendant tail fixture)."""
+    from sharetrace_giraph_spark.algorithms import k_core
+    from .reference_impl import k_core_py
+
+    _, verts, enc, edge_list = medium_graph
+    vs = _vertices_of(edge_list)
+    degs = sorted(
+        len({u for e in edge_list for u in e if e[0] == v or e[1] == v})
+        for v in vs
+    )
+    for k in (2, degs[len(degs) // 2], degs[-1]):
+        res = k_core(spark, E.undirect(enc), verts, k, ckpt,
+                     run_id=f"kc-{k}", max_supersteps=len(vs) + 2)
+        assert res.converged, k
+        got = {r.vertex_id for r in res.state.collect() if r.alive == 1}
+        assert got == k_core_py(edge_list, vs, k), k
+
+    # triangle 0-1-2 + path 2-3-4-5, k=2: only the path ENDPOINT is below
+    # k each round, so peeling cascades one vertex per superstep — the
+    # depth>1 case the synchronous update must iterate through
+    edges = [(0, 1), (0, 2), (1, 2), (2, 3), (3, 4), (4, 5)]
+    canon = spark.createDataFrame(edges, "src long, dst long")
+    tverts = spark.createDataFrame([(i,) for i in range(6)], "vertex_id long")
+    res = k_core(spark, E.undirect(canon), tverts, 2, ckpt,
+                 run_id="kc-tail", max_supersteps=20)
+    assert res.converged
+    got = {r.vertex_id for r in res.state.collect() if r.alive == 1}
+    assert got == {0, 1, 2}
+    assert res.supersteps_run >= 4  # 5, then 4, then 3 peel in turn
