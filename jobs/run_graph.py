@@ -47,8 +47,9 @@ def main() -> None:
         "--algorithm",
         required=True,
         choices=["pagerank", "cc", "lpa", "triangles", "risk_prop",
-                 "bfs", "clustering", "edge_jaccard"],
+                 "bfs", "clustering", "edge_jaccard", "kcore"],
     )
+    ap.add_argument("--k", type=int, default=3, help="kcore only: the core order k")
     ap.add_argument("--cc-method", default="frontier", choices=["frontier", "doubling"],
                     help="cc only: frontier min-label (O(diameter) supersteps) or "
                     "pointer-doubling (O(log V), high-diameter graphs)")
@@ -124,6 +125,16 @@ def main() -> None:
             res.state.where(F.col("dist") < UNREACHED)
             .join(verts, "vertex_id").select("role", "dist")
         )
+    elif args.algorithm == "kcore":
+        import pyspark.sql.functions as F
+
+        from sharetrace_giraph_spark.algorithms import k_core
+
+        res = k_core(
+            spark, E.undirect(enc), verts, args.k, args.checkpoint_dir,
+            run_id=args.run_id, max_supersteps=args.max_supersteps, resume=resume,
+        )
+        out = res.state.join(verts, "vertex_id").select("role", "alive")
     elif args.algorithm == "clustering":
         from sharetrace_giraph_spark.algorithms import clustering_coefficient
 
