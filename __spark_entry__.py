@@ -96,7 +96,7 @@ def q_graph_pagerank(spark, sf_dir):
 
     contacts, verts, enc = _graph(spark, sf_dir)
     res = pagerank(spark, E.undirect(enc), verts, _ckpt(), run_id="q",
-                   tolerance=0.0, max_supersteps=5)
+                   tolerance=0.0, max_supersteps=5, checkpoint_every=2)
     out = res.state.join(verts, "vertex_id").select(
         "role", F.round("rank", 9).alias("rank")
     )
@@ -113,7 +113,7 @@ def q_graph_cc(spark, sf_dir):
 
     contacts, verts, enc = _graph(spark, sf_dir)
     res = connected_components(spark, E.undirect(enc), verts, _ckpt(),
-                               run_id="q", max_supersteps=50)
+                               run_id="q", max_supersteps=50, checkpoint_every=2)
     comp_roles = verts.select(
         F.col("vertex_id").alias("comp"), F.col("role").alias("comp_role")
     )
@@ -135,7 +135,8 @@ def q_graph_cc_doubling(spark, sf_dir):
 
     contacts, verts, enc = _graph(spark, sf_dir)
     res = connected_components(spark, E.undirect(enc), verts, _ckpt(),
-                               run_id="qd", max_supersteps=50, method="doubling")
+                               run_id="qd", max_supersteps=50, method="doubling",
+                               checkpoint_every=2)
     comp_roles = verts.select(
         F.col("vertex_id").alias("comp"), F.col("role").alias("comp_role")
     )
@@ -156,7 +157,7 @@ def q_graph_component_sizes(spark, sf_dir):
 
     contacts, verts, enc = _graph(spark, sf_dir)
     res = connected_components(spark, E.undirect(enc), verts, _ckpt(),
-                               run_id="qcs", max_supersteps=50)
+                               run_id="qcs", max_supersteps=50, checkpoint_every=2)
     sizes = res.state.groupBy("comp").agg(F.count(F.lit(1)).alias("size"))
     return (
         sizes.groupBy("size").agg(F.count(F.lit(1)).alias("n_components"))
@@ -177,7 +178,7 @@ def q_graph_kcore(spark, sf_dir):
     contacts, verts, enc = _graph(spark, sf_dir)
     k = math.ceil(0.8 * verts.count())
     res = k_core(spark, E.undirect(enc), verts, k, _ckpt(), run_id="qkc",
-                 max_supersteps=30)
+                 max_supersteps=30, checkpoint_every=2)
     return (
         res.state.join(verts, "vertex_id")
         .select("role", F.col("alive").cast("int").alias("in_core"))
@@ -194,7 +195,7 @@ def q_graph_lpa(spark, sf_dir):
 
     contacts, verts, enc = _graph(spark, sf_dir)
     res = label_propagation(spark, E.undirect(enc), verts, _ckpt(),
-                            run_id="q", max_supersteps=5)
+                            run_id="q", max_supersteps=5, checkpoint_every=2)
     label_roles = verts.select(
         F.col("vertex_id").alias("label"), F.col("role").alias("label_role")
     )
@@ -216,7 +217,7 @@ def q_graph_bfs(spark, sf_dir):
     contacts, verts, enc = _graph(spark, sf_dir)
     seed = verts.orderBy("role").limit(1).select("vertex_id")
     res = bfs(spark, E.undirect(enc), verts, seed, _ckpt(), run_id="qb",
-              max_supersteps=50)
+              max_supersteps=50, checkpoint_every=2)
     return (
         res.state.where(F.col("dist") < UNREACHED)
         .join(verts, "vertex_id")
@@ -264,7 +265,7 @@ def q_graph_ppr(spark, sf_dir):
     )
     seed = verts.orderBy("role").limit(1).select("vertex_id")
     res = pagerank(spark, wund, verts, _ckpt(), run_id="qppr",
-                   tolerance=0.0, max_supersteps=5,
+                   tolerance=0.0, max_supersteps=5, checkpoint_every=2,
                    weight_col="w", teleport=seed, handle_dangling=False)
     return (
         res.state.join(verts, "vertex_id")
@@ -340,7 +341,8 @@ def q_graph_risk_prop(spark, sf_dir):
     # tolerance=0.0: always run the full 5 supersteps so the unrolled
     # DuckDB oracle replays the identical iteration count
     res = risk_propagation(spark, contacts, scores, _ckpt(), run_id="q",
-                           transmission_rate=0.8, max_supersteps=5, tolerance=0.0)
+                           transmission_rate=0.8, max_supersteps=5, tolerance=0.0,
+                           checkpoint_every=2)
     return final_scores(res.state).select(
         F.col("vertex_id").alias("role"),
         F.round("value", 9).alias("value"),

@@ -119,3 +119,34 @@ def test_pair_strategies_equivalent(spark, raw):
     b = norm(E.derive_contacts(df, duration_threshold_s=300, session_gap_s=600,
                                pair_strategy="join"))
     assert a == b
+
+
+@given(st.sets(edge_strategy, min_size=1, max_size=20), st.integers(1, 4))
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture])
+def test_bfs_and_kcore_exact_on_random_graphs(spark, tmp_path_factory, raw_edges, k):
+    """BFS distances and k-core membership on random graphs vs the Python
+    oracles; random shapes cover disconnected pieces, cascades, and
+    sentinel handling the fixtures don't."""
+    from sharetrace_giraph_spark.algorithms import UNREACHED, bfs, k_core
+    from .reference_impl import bfs_py, k_core_py
+
+    canon = {(min(u, v), max(u, v)) for u, v in raw_edges}
+    verts_py = sorted({v for e in canon for v in e})
+    edges = spark.createDataFrame(sorted(canon), "src long, dst long")
+    verts = spark.createDataFrame([(v,) for v in verts_py], "vertex_id long")
+    und = E.undirect(edges)
+
+    ckpt = str(tmp_path_factory.mktemp("bk-prop"))
+    seed = verts_py[0]
+    bres = bfs(spark, und, verts, spark.createDataFrame([(seed,)], "vertex_id long"),
+               ckpt, run_id="pb", max_supersteps=30, resume=False)
+    got_b = {r.vertex_id: r.dist for r in bres.state.collect() if r.dist < UNREACHED}
+    assert got_b == bfs_py(sorted(canon), verts_py, [seed])
+    assert bres.converged
+
+    kres = k_core(spark, und, verts, k, ckpt, run_id="pk",
+                  max_supersteps=30, resume=False)
+    got_k = {r.vertex_id for r in kres.state.collect() if r.alive == 1}
+    assert got_k == k_core_py(sorted(canon), verts_py, k)
+    assert kres.converged
