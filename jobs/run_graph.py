@@ -133,6 +133,7 @@ def main() -> None:
         res = k_core(
             spark, E.undirect(enc), verts, args.k, args.checkpoint_dir,
             run_id=args.run_id, max_supersteps=args.max_supersteps, resume=resume,
+            salt_threshold=args.salt_threshold,
         )
         out = res.state.join(verts, "vertex_id").select("role", "alive")
     elif args.algorithm == "clustering":

@@ -25,6 +25,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from ..operators.skew import hub_vertices, salted_sum
 from ..plans.superstep import SuperstepDriver, SuperstepResult
 
 
@@ -39,13 +40,22 @@ def k_core(
     num_partitions: int | None = None,
     resume: bool = True,
     checkpoint_every: int = 1,
+    salt_threshold: int | None = None,
+    salts: int = 16,
 ) -> SuperstepResult:
     """Returns state (vertex_id, alive, delta); ``alive`` = 1 iff the
-    vertex survives in the k-core."""
+    vertex survives in the k-core. ``salt_threshold`` mirrors the other
+    algorithms: the per-dst alive-neighbor COUNT (a decomposable sum of
+    ones) over hub fan-in is split via two-level salted sum."""
     num_partitions = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     e = edges.select("src", "dst").repartition(num_partitions, "src").persist()
     verts = vertices.select("vertex_id").persist()
     e.count()
+
+    hubs = None
+    if salt_threshold is not None:
+        hubs = hub_vertices(e, salt_threshold, "in").persist()
+        hubs.count()
 
     init = verts.select(
         "vertex_id", F.lit(1).cast("int").alias("alive"), F.lit(1.0).alias("delta")
@@ -54,11 +64,17 @@ def k_core(
     def step(state: DataFrame, _k: int) -> DataFrame:
         alive = state.where(F.col("alive") == 1).select("vertex_id")
         # messages: each alive vertex counts for its neighbors' degree
-        deg = (
-            e.join(alive, e.src == alive.vertex_id)
-            .groupBy(e.dst.alias("mdst"))
-            .agg(F.count(F.lit(1)).alias("alive_deg"))
+        msgs = e.join(alive, e.src == alive.vertex_id).select(
+            e.dst.alias("mdst"), F.lit(1).cast("long").alias("one")
         )
+        if hubs is not None:
+            deg = salted_sum(
+                msgs.select(F.col("mdst").alias("dst"), F.col("one").alias("alive_deg")),
+                key="dst", value="alive_deg", hubs=hubs, salts=salts,
+                salt_source=None,
+            ).select(F.col("dst").alias("mdst"), "alive_deg")
+        else:
+            deg = msgs.groupBy("mdst").agg(F.sum("one").alias("alive_deg"))
         survives = (F.col("alive") == 1) & (F.coalesce("alive_deg", F.lit(0)) >= k)
         new_alive = F.when(survives, 1).otherwise(0).cast("int")
         return state.join(deg, state.vertex_id == F.col("mdst"), "left").select(
@@ -72,4 +88,6 @@ def k_core(
                      resume=resume, checkpoint_every=checkpoint_every)
     e.unpersist()
     verts.unpersist()
+    if hubs is not None:
+        hubs.unpersist()
     return res

@@ -411,3 +411,16 @@ def test_k_core_exact(spark, medium_graph, ckpt):
     got = {r.vertex_id for r in res.state.collect() if r.alive == 1}
     assert got == {0, 1, 2}
     assert res.supersteps_run >= 4  # 5, then 4, then 3 peel in turn
+
+
+def test_k_core_salted_matches_unsalted(spark, medium_graph, ckpt):
+    """Salted alive-neighbor counting must not change membership."""
+    from sharetrace_giraph_spark.algorithms import k_core
+    from .reference_impl import k_core_py
+
+    _, verts, enc, edge_list = medium_graph
+    vs = _vertices_of(edge_list)
+    res = k_core(spark, E.undirect(enc), verts, 4, ckpt, run_id="kc-salt",
+                 max_supersteps=30, salt_threshold=5, salts=4)
+    got = {r.vertex_id for r in res.state.collect() if r.alive == 1}
+    assert got == k_core_py(edge_list, vs, 4)
