@@ -817,6 +817,46 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     return minhash_near_duplicates(d, threshold=0.2).orderBy("a", "b")
 
 
+def q_dedup_near_clusters(spark, sf_dir):
+    """Near-dup CLUSTER assignment — the artifact a dedup pipeline
+    actually emits (one canonical representative per duplicate group):
+    MinHash/LSH near-dup pairs (jaccard >= 0.2) become an edge list, the
+    engine's own connected-components superstep labels the clusters, and
+    canonical_id = min doc_id per component. Composes the training-data
+    dedup stack with the link-graph core; the oracle replays LSH in SQL
+    and clusters with a recursive CTE."""
+    from sharetrace_giraph_spark.algorithms import connected_components
+    from sharetrace_giraph_spark.operators import edges as E
+    from sharetrace_giraph_spark.operators.dedup import minhash_near_duplicates
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_near_duplicates(d, threshold=0.2).select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    )
+    verts = (
+        pairs.select(F.col("src").alias("vertex_id"))
+        .unionByName(pairs.select(F.col("dst").alias("vertex_id")))
+        .distinct()
+    )
+    if verts.isEmpty():  # legitimately possible at tiny scale factors
+        return spark.createDataFrame(
+            [], "doc_id long, canonical_id long, cluster_size long"
+        )
+    res = connected_components(spark, E.undirect(pairs), verts, _ckpt(),
+                               run_id="qdc", max_supersteps=50,
+                               checkpoint_every=2)
+    sizes = res.state.groupBy("comp").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        res.state.join(sizes, "comp")
+        .select(
+            F.col("vertex_id").alias("doc_id"),
+            F.col("comp").alias("canonical_id"),
+            "cluster_size",
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_dedup_simhash(spark, sf_dir):
     """SimHash near-dup: 60-bit JVM-side signature (md5-derived token
     hashes, bit-vote aggregates — zero Python), Hamming <= 3 within
@@ -1042,6 +1082,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_near_clusters": q_dedup_near_clusters,
         "dedup_simhash": q_dedup_simhash,
         "text_fingerprint": q_text_fingerprint,
         "text_token_count": q_text_token_count,
@@ -1263,8 +1304,11 @@ def _simhash_oracle(prefix_bits: int = 16, max_hamming: int = 3) -> str:
     """
 
 
-_MINHASH_LSH_ORACLE = """
-    WITH g AS (
+# CTE chain replaying the full MinHash→LSH→Jaccard-verify pipeline
+# (shingle → 8 md5 min-hashes → 4 banded buckets → candidate pairs →
+# exact n-gram Jaccard >= 0.2). No leading WITH — callers prepend.
+_MINHASH_CTES = """
+    g AS (
         SELECT doc_id,
                CASE WHEN len(toks) >= 3 THEN
                    list_distinct(list_transform(
@@ -1292,17 +1336,41 @@ _MINHASH_LSH_ORACLE = """
         SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
         FROM bk l JOIN bk r
           ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+    ), verified AS (
+        SELECT a, b, jaccard FROM (
+            SELECT c.a, c.b,
+                   round(CASE WHEN len(list_distinct(list_concat(ga.grams, gb.grams))) > 0
+                         THEN CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
+                              / len(list_distinct(list_concat(ga.grams, gb.grams)))
+                         ELSE 0.0 END, 6) AS jaccard
+            FROM cand c
+            JOIN g ga ON ga.doc_id = c.a
+            JOIN g gb ON gb.doc_id = c.b
+        ) WHERE jaccard >= 0.2
     )
-    SELECT a, b, jaccard FROM (
-        SELECT c.a, c.b,
-               round(CASE WHEN len(list_distinct(list_concat(ga.grams, gb.grams))) > 0
-                     THEN CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
-                          / len(list_distinct(list_concat(ga.grams, gb.grams)))
-                     ELSE 0.0 END, 6) AS jaccard
-        FROM cand c
-        JOIN g ga ON ga.doc_id = c.a
-        JOIN g gb ON gb.doc_id = c.b
-    ) WHERE jaccard >= 0.2 ORDER BY a, b
+"""
+
+_MINHASH_LSH_ORACLE = f"""
+    WITH {_MINHASH_CTES}
+    SELECT a, b, jaccard FROM verified ORDER BY a, b
+"""
+
+_DEDUP_CLUSTERS_ORACLE = f"""
+    WITH RECURSIVE {_MINHASH_CTES},
+    du AS (SELECT a AS src, b AS dst FROM verified
+           UNION ALL SELECT b AS src, a AS dst FROM verified),
+    dverts AS (SELECT DISTINCT src AS v FROM du),
+    reach(v, m) AS (
+        SELECT v, v FROM dverts
+        UNION
+        SELECT e.dst, r.m FROM reach r JOIN du e ON e.src = r.v
+    ),
+    labels AS (SELECT v, min(m) AS canonical_id FROM reach GROUP BY v),
+    sizes AS (SELECT canonical_id, count(*) AS cluster_size
+              FROM labels GROUP BY canonical_id)
+    SELECT l.v AS doc_id, l.canonical_id,
+           CAST(s.cluster_size AS BIGINT) AS cluster_size
+    FROM labels l JOIN sizes s USING (canonical_id) ORDER BY doc_id
 """
 
 _EMBEDDING_NEAR_DUP_ORACLE = """
@@ -1523,6 +1591,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_edge_jaccard": _EDGE_JACCARD_ORACLE,
         "graph_risk_prop": _risk_prop_oracle(),
         "dedup_minhash_lsh": _MINHASH_LSH_ORACLE,
+        "dedup_near_clusters": _DEDUP_CLUSTERS_ORACLE,
         "dedup_simhash": _simhash_oracle(),
         "embedding_near_dup": _EMBEDDING_NEAR_DUP_ORACLE,
         "expiry_filter": """
