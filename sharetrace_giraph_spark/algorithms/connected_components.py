@@ -38,7 +38,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.skew import hub_vertices, salted_min
-from ..plans.superstep import SuperstepDriver, SuperstepResult
+from ..plans.superstep import SuperstepDriver, SuperstepResult, auto_num_partitions
 
 
 def connected_components(
@@ -59,7 +59,7 @@ def connected_components(
     component (exact, deterministic, identical across both methods)."""
     if method not in ("frontier", "doubling"):
         raise ValueError(f"unknown method {method!r}")
-    num_partitions = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    num_partitions = auto_num_partitions(spark, edges, num_partitions)
     e = edges.select("src", "dst").repartition(num_partitions, "src").persist()
     verts = vertices.select("vertex_id").persist()
     e.count()

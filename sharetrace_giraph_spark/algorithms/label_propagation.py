@@ -18,7 +18,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from ..plans.superstep import SuperstepDriver, SuperstepResult
+from ..plans.superstep import SuperstepDriver, SuperstepResult, auto_num_partitions
 
 
 def label_propagation(
@@ -40,7 +40,7 @@ def label_propagation(
     dst whose neighbors share one label makes the (dst, label) count key
     hot; two-level salting counts per (dst, label, salt) first, then sums
     the partials — count is decomposable, results identical."""
-    num_partitions = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    num_partitions = auto_num_partitions(spark, edges, num_partitions)
     e = edges.select("src", "dst").repartition(num_partitions, "src").persist()
     verts = vertices.select("vertex_id").persist()
     e.count()

@@ -36,7 +36,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.skew import hub_vertices, salted_sum
-from ..plans.superstep import SuperstepDriver, SuperstepResult
+from ..plans.superstep import SuperstepDriver, SuperstepResult, auto_num_partitions
 
 
 def _prepare(
@@ -107,7 +107,7 @@ def pagerank(
     """
     if kernel == "csr" and (weight_col is not None or teleport is not None):
         raise ValueError("weight_col/teleport require the relational kernel")
-    num_partitions = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    num_partitions = auto_num_partitions(spark, edges, num_partitions)
     edges_w, verts, n = _prepare(edges, vertices, num_partitions, weight_col)
 
     hubs = None

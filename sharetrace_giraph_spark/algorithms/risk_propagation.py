@@ -49,6 +49,7 @@ from ..plans.superstep import (
     DEFAULT_TOLERANCE,
     SuperstepDriver,
     SuperstepResult,
+    auto_num_partitions,
 )
 
 
@@ -95,8 +96,9 @@ def risk_propagation(
     resume: bool = True,
     checkpoint_every: int = 1,
 ) -> SuperstepResult:
-    num_partitions = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    edges = _directed_contact_edges(contacts).repartition(num_partitions, "u").persist()
+    edges = _directed_contact_edges(contacts)
+    num_partitions = auto_num_partitions(spark, edges, num_partitions)
+    edges = edges.repartition(num_partitions, "u").persist()
     edges.count()
 
     def step(state: DataFrame, k: int) -> DataFrame:
