@@ -168,8 +168,8 @@ def q_graph_component_sizes(spark, sf_dir):
 def q_graph_kcore(spark, sf_dir):
     """k-core membership flag per actor with k = ceil(0.8·V) — relative so
     the peeling cascade is non-trivial at every scale factor. The engine
-    peels to fixed point; the oracle unrolls 8 peel rounds (idempotent
-    past the fixed point, which the dense contact graph reaches in <= 4)."""
+    peels to fixed point (or the 30-superstep cap); the oracle unrolls
+    exactly 30 peel rounds, so the two agree at any cascade depth."""
     import math
 
     from sharetrace_giraph_spark.algorithms import k_core
@@ -830,21 +830,29 @@ def q_dedup_near_clusters(spark, sf_dir):
     from sharetrace_giraph_spark.operators.dedup import minhash_near_duplicates
 
     d = _t(spark, sf_dir, "documents")
+    # persisted: isEmpty, the vertex union, and the CC edge cache would
+    # otherwise each re-run the whole LSH pipeline (its most expensive
+    # stage) from lineage
     pairs = minhash_near_duplicates(d, threshold=0.2).select(
         F.col("a").alias("src"), F.col("b").alias("dst")
-    )
+    ).persist()
     verts = (
         pairs.select(F.col("src").alias("vertex_id"))
         .unionByName(pairs.select(F.col("dst").alias("vertex_id")))
         .distinct()
     )
     if verts.isEmpty():  # legitimately possible at tiny scale factors
+        pairs.unpersist()
         return spark.createDataFrame(
             [], "doc_id long, canonical_id long, cluster_size long"
         )
+    # doubling: O(log V) supersteps regardless of chain diameter — a
+    # >50-hop transitive near-dup chain would outrun the frontier method's
+    # superstep cap, but not pointer jumping (2^50 hops covered)
     res = connected_components(spark, E.undirect(pairs), verts, _ckpt(),
                                run_id="qdc", max_supersteps=50,
-                               checkpoint_every=2)
+                               checkpoint_every=2, method="doubling")
+    pairs.unpersist()  # CC state is checkpoint-backed; lineage is cut
     sizes = res.state.groupBy("comp").agg(F.count(F.lit(1)).alias("cluster_size"))
     return (
         res.state.join(sizes, "comp")
@@ -1415,10 +1423,13 @@ _BFS_ORACLE = f"""
 """
 
 
-def _kcore_oracle(rounds: int = 8) -> str:
-    """Iterative peeling unrolled to CTEs a0..aN: each round keeps the
-    vertices with >= k alive neighbors; extra rounds past the fixed point
-    are idempotent, so any N >= peeling depth replays the engine exactly.
+def _kcore_oracle(rounds: int = 30) -> str:
+    """Iterative peeling unrolled to CTEs a0..aN with N = the engine's
+    max_supersteps (30): each round keeps the vertices with >= k alive
+    neighbors. Rounds past the fixed point are idempotent, and if the
+    fixed point is NOT reached within 30, both sides stop after exactly
+    30 synchronous peels — so the oracle replays the engine bit-exactly
+    at ANY cascade depth, not just ones that settle early.
     k = ceil(0.8 * V), matching q_graph_kcore."""
     steps = []
     for r in range(1, rounds + 1):

@@ -114,6 +114,16 @@ def main() -> None:
         if args.bfs_sources:
             roles = [r.strip() for r in args.bfs_sources.split(",") if r.strip()]
             seed = verts.where(F.col("role").isin(roles)).select("vertex_id")
+            n_found = seed.count()
+            if n_found == 0:
+                raise SystemExit(
+                    f"--bfs-sources matched no vertex (asked for {roles!r}); "
+                    "a typo would otherwise be indistinguishable from an "
+                    "unreachable graph"
+                )
+            if n_found < len(roles):
+                print(f"warning: only {n_found}/{len(roles)} --bfs-sources "
+                      "exist in the graph", file=sys.stderr)
         else:
             seed = verts.orderBy("role").limit(1).select("vertex_id")
         res = bfs(

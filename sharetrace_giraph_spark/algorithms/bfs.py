@@ -31,7 +31,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.skew import hub_vertices, salted_min
-from ..plans.superstep import SuperstepDriver, SuperstepResult, auto_num_partitions
+from ..plans.superstep import SuperstepDriver, SuperstepResult, prepare_edges
 
 #: "not reached yet" — far above any real hop count, far below long
 #: overflow even after repeated +1
@@ -55,10 +55,10 @@ def bfs(
     """Returns state (vertex_id, dist, delta); ``dist`` is the minimum hop
     count from any source, or :data:`UNREACHED`. Filter
     ``dist < UNREACHED`` for the reachable set."""
-    num_partitions = auto_num_partitions(spark, edges, num_partitions)
-    e = edges.select("src", "dst").repartition(num_partitions, "src").persist()
+    e, num_partitions = prepare_edges(
+        spark, edges.select("src", "dst"), "src", num_partitions
+    )
     verts = vertices.select("vertex_id").persist()
-    e.count()
 
     hubs = None
     if salt_threshold is not None:

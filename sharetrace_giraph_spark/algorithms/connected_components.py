@@ -38,7 +38,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.skew import hub_vertices, salted_min
-from ..plans.superstep import SuperstepDriver, SuperstepResult, auto_num_partitions
+from ..plans.superstep import SuperstepDriver, SuperstepResult, prepare_edges
 
 
 def connected_components(
@@ -59,10 +59,10 @@ def connected_components(
     component (exact, deterministic, identical across both methods)."""
     if method not in ("frontier", "doubling"):
         raise ValueError(f"unknown method {method!r}")
-    num_partitions = auto_num_partitions(spark, edges, num_partitions)
-    e = edges.select("src", "dst").repartition(num_partitions, "src").persist()
+    e, num_partitions = prepare_edges(
+        spark, edges.select("src", "dst"), "src", num_partitions
+    )
     verts = vertices.select("vertex_id").persist()
-    e.count()
 
     hubs = None
     if salt_threshold is not None:

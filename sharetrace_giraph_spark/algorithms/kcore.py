@@ -26,7 +26,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.skew import hub_vertices, salted_sum
-from ..plans.superstep import SuperstepDriver, SuperstepResult, auto_num_partitions
+from ..plans.superstep import SuperstepDriver, SuperstepResult, prepare_edges
 
 
 def k_core(
@@ -47,10 +47,10 @@ def k_core(
     vertex survives in the k-core. ``salt_threshold`` mirrors the other
     algorithms: the per-dst alive-neighbor COUNT (a decomposable sum of
     ones) over hub fan-in is split via two-level salted sum."""
-    num_partitions = auto_num_partitions(spark, edges, num_partitions)
-    e = edges.select("src", "dst").repartition(num_partitions, "src").persist()
+    e, num_partitions = prepare_edges(
+        spark, edges.select("src", "dst"), "src", num_partitions
+    )
     verts = vertices.select("vertex_id").persist()
-    e.count()
 
     hubs = None
     if salt_threshold is not None:

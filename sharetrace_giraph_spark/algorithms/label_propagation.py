@@ -18,7 +18,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from ..plans.superstep import SuperstepDriver, SuperstepResult, auto_num_partitions
+from ..plans.superstep import SuperstepDriver, SuperstepResult, prepare_edges
 
 
 def label_propagation(
@@ -40,10 +40,10 @@ def label_propagation(
     dst whose neighbors share one label makes the (dst, label) count key
     hot; two-level salting counts per (dst, label, salt) first, then sums
     the partials — count is decomposable, results identical."""
-    num_partitions = auto_num_partitions(spark, edges, num_partitions)
-    e = edges.select("src", "dst").repartition(num_partitions, "src").persist()
+    e, num_partitions = prepare_edges(
+        spark, edges.select("src", "dst"), "src", num_partitions
+    )
     verts = vertices.select("vertex_id").persist()
-    e.count()
 
     hubs = None
     if salt_threshold is not None:

@@ -107,8 +107,12 @@ def pagerank(
     """
     if kernel == "csr" and (weight_col is not None or teleport is not None):
         raise ValueError("weight_col/teleport require the relational kernel")
-    num_partitions = auto_num_partitions(spark, edges, num_partitions)
-    edges_w, verts, n = _prepare(edges, vertices, num_partitions, weight_col)
+    # cache the raw directed edges once: auto-sizing counts them, and the
+    # degree agg + transition join in _prepare both read them
+    edges_c = edges.persist()
+    num_partitions = auto_num_partitions(spark, edges_c, num_partitions)
+    edges_w, verts, n = _prepare(edges_c, vertices, num_partitions, weight_col)
+    edges_c.unpersist()  # edges_w is materialized; the raw frame is done
 
     hubs = None
     if salt_threshold is not None:
@@ -128,10 +132,16 @@ def pagerank(
 
     personalized = teleport is not None
     if personalized:
-        seeds = teleport.select("vertex_id").distinct()
+        # intersect with the vertex universe BEFORE counting: a seed not
+        # in `vertices` would otherwise deflate 1/|S| and silently leave
+        # sum(pref) < 1 (all-disjoint seeds → every rank 0.0)
+        seeds = (
+            teleport.select("vertex_id").distinct()
+            .join(verts, "vertex_id", "left_semi")
+        )
         n_seeds = seeds.count()
         if n_seeds == 0:
-            raise ValueError("teleport seed set is empty")
+            raise ValueError("teleport seed set has no vertex in the graph")
         init = verts.join(
             seeds.withColumn("_is_seed", F.lit(True)), "vertex_id", "left"
         ).select(

@@ -49,7 +49,7 @@ from ..plans.superstep import (
     DEFAULT_TOLERANCE,
     SuperstepDriver,
     SuperstepResult,
-    auto_num_partitions,
+    prepare_edges,
 )
 
 
@@ -96,10 +96,9 @@ def risk_propagation(
     resume: bool = True,
     checkpoint_every: int = 1,
 ) -> SuperstepResult:
-    edges = _directed_contact_edges(contacts)
-    num_partitions = auto_num_partitions(spark, edges, num_partitions)
-    edges = edges.repartition(num_partitions, "u").persist()
-    edges.count()
+    edges, num_partitions = prepare_edges(
+        spark, _directed_contact_edges(contacts), "u", num_partitions
+    )
 
     def step(state: DataFrame, k: int) -> DataFrame:
         ex = state.select("vertex_id", F.explode("scores").alias("s"))

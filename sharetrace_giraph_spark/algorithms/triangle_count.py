@@ -47,7 +47,11 @@ def triangle_list(edges: DataFrame) -> DataFrame:
     """Triangle enumeration ``(a, b, c)`` (each triangle exactly once) via
     the degree-oriented wedge join; ``edges`` canonical (src < dst). The
     returned frame (and the oriented edge table under it) is persisted and
-    registered for :func:`release_cached`."""
+    registered for :func:`release_cached`; each call first releases the
+    PREVIOUS call's registrations, so no caller sequence pins more than
+    one triangle table (a prior call's returned frame stays valid — it
+    just recomputes if used after a later call)."""
+    release_cached()
     e = edges.select("src", "dst").distinct()
     deg = undirected_degree(e)
 

@@ -77,6 +77,31 @@ def auto_num_partitions(
     return max(1, min(conf, max(floor, -(-n // rows_per_partition))))
 
 
+def prepare_edges(
+    spark: SparkSession,
+    edges: DataFrame,
+    key: str,
+    num_partitions: int | None,
+) -> tuple[DataFrame, int]:
+    """Size, hash-partition, and cache the static edge side of an
+    iteration. Returns ``(cached_edges, num_partitions)``.
+
+    The input lineage is evaluated exactly ONCE even when auto-sizing
+    needs a count: the projected frame is cached before the count and
+    released once the repartitioned cache has materialized — without
+    this, auto-sizing would add a full extra pass over the (possibly
+    expensive, uncached) edge-derivation lineage."""
+    tmp = None
+    if num_partitions is None:
+        tmp = edges.persist()
+        num_partitions = auto_num_partitions(spark, tmp, None)
+    e = (tmp if tmp is not None else edges).repartition(num_partitions, key).persist()
+    e.count()
+    if tmp is not None:
+        tmp.unpersist()
+    return e, num_partitions
+
+
 @dataclass
 class SuperstepResult:
     state: DataFrame
