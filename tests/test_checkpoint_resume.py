@@ -90,3 +90,84 @@ def test_resume_same_result(spark, tmp_path, graph):
     for k in range(resumed.final_superstep + 1):
         assert per_step.get(k) == n_verts, (k, per_step.get(k))
     assert pm.filter(F.col("bytes") <= 0).count() == 0
+
+
+def test_resume_personalized_weighted_pagerank(spark, tmp_path, graph):
+    """The personalization vector rides IN the checkpointed state (pref
+    column) — resume must restore it bit-exactly, or post-resume restarts
+    would silently fall back to a wrong distribution. Also covers weighted
+    transitions across the resume boundary."""
+    verts, enc = graph
+    w = enc.withColumn(
+        "w", (F.pmod(F.xxhash64("src", "dst"), F.lit(5)) + 1).cast("double")
+    )
+    seeds = verts.orderBy("vertex_id").limit(2).select("vertex_id")
+
+    full = pagerank(spark, w, verts, str(tmp_path / "pa"), run_id="pw",
+                    tolerance=0.0, max_supersteps=6, weight_col="w",
+                    teleport=seeds, checkpoint_every=2)
+
+    orig_run = SuperstepDriver.run
+
+    def killing_run(self, init_state, step, **kw):
+        def killing_step(state, k):
+            if k == 4:
+                raise _Killed()
+            return step(state, k)
+        return orig_run(self, init_state, killing_step, **kw)
+
+    SuperstepDriver.run = killing_run
+    try:
+        with pytest.raises(_Killed):
+            pagerank(spark, w, verts, str(tmp_path / "pb"), run_id="pwr",
+                     tolerance=0.0, max_supersteps=6, weight_col="w",
+                     teleport=seeds, checkpoint_every=2)
+    finally:
+        SuperstepDriver.run = orig_run
+
+    resumed = pagerank(spark, w, verts, str(tmp_path / "pb"), run_id="pwr",
+                       tolerance=0.0, max_supersteps=6, weight_col="w",
+                       teleport=seeds, checkpoint_every=2)
+    assert resumed.resumed_from is not None
+    a = {r.vertex_id: (r.rank, r.pref) for r in full.state.collect()}
+    b = {r.vertex_id: (r.rank, r.pref) for r in resumed.state.collect()}
+    assert a.keys() == b.keys()
+    for v in a:
+        assert a[v][1] == b[v][1], f"pref mismatch at {v}"   # exact
+        assert abs(a[v][0] - b[v][0]) < 1e-12, f"rank mismatch at {v}"
+
+
+def test_resume_bfs_sentinel(spark, tmp_path, graph):
+    """BFS's UNREACHED sentinel (2^62) must round-trip through the parquet
+    checkpoint on resume — a lossy cast would corrupt distances."""
+    from sharetrace_giraph_spark.algorithms import UNREACHED, bfs
+
+    verts, enc = graph
+    seed = verts.orderBy("vertex_id").limit(1).select("vertex_id")
+    full = bfs(spark, enc, verts, seed, str(tmp_path / "ba"), run_id="bf",
+               max_supersteps=30, checkpoint_every=2)
+
+    orig_run = SuperstepDriver.run
+
+    def killing_run(self, init_state, step, **kw):
+        def killing_step(state, k):
+            if k == 2:
+                raise _Killed()
+            return step(state, k)
+        return orig_run(self, init_state, killing_step, **kw)
+
+    SuperstepDriver.run = killing_run
+    try:
+        with pytest.raises(_Killed):
+            bfs(spark, enc, verts, seed, str(tmp_path / "bb"), run_id="bfr",
+                max_supersteps=30, checkpoint_every=2)
+    finally:
+        SuperstepDriver.run = orig_run
+
+    resumed = bfs(spark, enc, verts, seed, str(tmp_path / "bb"), run_id="bfr",
+                  max_supersteps=30, checkpoint_every=2)
+    assert resumed.resumed_from is not None
+    a = {r.vertex_id: r.dist for r in full.state.collect()}
+    b = {r.vertex_id: r.dist for r in resumed.state.collect()}
+    assert a == b
+    assert all(d == UNREACHED or d < 100 for d in b.values())
