@@ -55,6 +55,11 @@ def main() -> None:
                     "pointer-doubling (O(log V), high-diameter graphs)")
     ap.add_argument("--bfs-sources", help="bfs only: comma-separated source roles "
                     "(default: the lexicographically smallest role)")
+    ap.add_argument("--teleport-roles", help="pagerank only: comma-separated seed "
+                    "roles for PERSONALIZED PageRank (restart returns to these)")
+    ap.add_argument("--duration-weighted", action="store_true",
+                    help="pagerank only: weight transitions by total co-presence "
+                    "duration per contact edge (+1 ms floor) instead of 1/degree")
     ap.add_argument("--checkpoint-dir", required=True)
     ap.add_argument("--run-id", default="run-0")
     ap.add_argument("--output", required=True)
@@ -90,12 +95,42 @@ def main() -> None:
 
     resume = not args.no_resume
     if args.algorithm == "pagerank":
+        import pyspark.sql.functions as F
+
         from sharetrace_giraph_spark.algorithms import pagerank
 
+        und = E.undirect(enc)
+        weight_col = None
+        if args.duration_weighted:
+            wc = contacts.select(
+                "src", "dst",
+                (
+                    F.aggregate(
+                        "occurrences", F.lit(0).cast("long"),
+                        lambda acc, o: acc + o["duration_ms"],
+                    ) + 1
+                ).cast("double").alias("w"),
+            )
+            vs = verts.select(F.col("role").alias("src"), F.col("vertex_id").alias("src_id"))
+            vd = verts.select(F.col("role").alias("dst"), F.col("vertex_id").alias("dst_id"))
+            wenc = (
+                wc.join(vs, "src").join(vd, "dst")
+                .select(F.col("src_id").alias("src"), F.col("dst_id").alias("dst"), "w")
+            )
+            und = wenc.unionByName(
+                wenc.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+            )
+            weight_col = "w"
+        teleport = None
+        if args.teleport_roles:
+            roles = [r.strip() for r in args.teleport_roles.split(",") if r.strip()]
+            teleport = verts.where(F.col("role").isin(roles)).select("vertex_id")
+
         res = pagerank(
-            spark, E.undirect(enc), verts, args.checkpoint_dir, run_id=args.run_id,
+            spark, und, verts, args.checkpoint_dir, run_id=args.run_id,
             max_supersteps=args.max_supersteps, tolerance=args.tolerance,
             kernel=args.kernel, salt_threshold=args.salt_threshold, resume=resume,
+            weight_col=weight_col, teleport=teleport,
         )
         out = res.state.join(verts, "vertex_id").select("role", "rank")
     elif args.algorithm == "cc":
