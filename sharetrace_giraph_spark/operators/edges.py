@@ -239,7 +239,15 @@ def dense_ids(
     reproducible regardless of where the sampled range boundaries land.
     """
     spark = rows.sparkSession
-    num_partitions = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if num_partitions is None:
+        # stats-based width, same rationale as plans/superstep
+        # .auto_num_partitions: range-partitioning a 300-row key set 32
+        # ways is pure per-task overhead across the count pass, the
+        # window pass, and every downstream join. Costs one count();
+        # at-scale callers pin num_partitions.
+        conf = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        n_rows = rows.count()
+        num_partitions = max(1, min(conf, -(-n_rows // 100_000)))
     # persisted: (a) the count pass and the id pass must see the SAME range
     # boundaries; (b) downstream consumers re-evaluate this frame several
     # times (encode join, init state) and must not replay rows' lineage
