@@ -865,6 +865,52 @@ def q_dedup_near_clusters(spark, sf_dir):
     )
 
 
+def q_sample_hash_split(spark, sf_dir):
+    """Deterministic train/val/test assignment by md5 bucket — the
+    reproducible splitting a training-data pipeline needs: no RNG, the
+    split is a pure function of doc_id, stable across runs/partitions/
+    cluster sizes (a rand()-based split is none of those)."""
+    d = _t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long") % 100
+    )
+    split = (
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        d.select(split.alias("split"))
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("split")
+    )
+
+
+def q_full_outer_reconcile(spark, sf_dir):
+    """FULL OUTER join shape (the one join type the surface lacked):
+    customer dim reconciled against per-customer order aggregates, both
+    unmatched sides surfaced — the standard at-scale set-reconciliation
+    pattern (shuffle hash join on the key; AQE splits skew)."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_spent"),
+        )
+    )
+    j = c.join(o, c.c_custkey == o.o_custkey, "full_outer")
+    return j.select(
+        F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+        F.col("c_custkey").isNotNull().alias("known_customer"),
+        F.coalesce("n_orders", F.lit(0)).cast("long").alias("n_orders"),
+        F.round(F.coalesce("total_spent", F.lit(0.0)), 2).alias("total_spent"),
+    ).orderBy("custkey")
+
+
 def q_dedup_simhash(spark, sf_dir):
     """SimHash near-dup: 60-bit JVM-side signature (md5-derived token
     hashes, bit-vote aggregates — zero Python), Hamming <= 3 within
@@ -1092,6 +1138,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_near_clusters": q_dedup_near_clusters,
         "dedup_simhash": q_dedup_simhash,
+        "sample_hash_split": q_sample_hash_split,
+        "full_outer_reconcile": q_full_outer_reconcile,
         "text_fingerprint": q_text_fingerprint,
         "text_token_count": q_text_token_count,
         "text_token_count_bpe": q_text_token_count_bpe,
@@ -1603,6 +1651,30 @@ def oracle_sql() -> dict[str, str]:
         "graph_risk_prop": _risk_prop_oracle(),
         "dedup_minhash_lsh": _MINHASH_LSH_ORACLE,
         "dedup_near_clusters": _DEDUP_CLUSTERS_ORACLE,
+        "sample_hash_split": """
+            SELECT split, CAST(count(*) AS BIGINT) AS n_docs FROM (
+                SELECT CASE WHEN b < 80 THEN 'train'
+                            WHEN b < 90 THEN 'val'
+                            ELSE 'test' END AS split
+                FROM (SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                                  AS BIGINT) % 100 AS b
+                      FROM documents)
+            ) GROUP BY split ORDER BY split
+        """,
+        "full_outer_reconcile": """
+            WITH o AS (
+                SELECT o_custkey,
+                       CAST(count(*) AS BIGINT) AS n_orders,
+                       round(sum(o_totalprice), 2) AS total_spent
+                FROM orders GROUP BY o_custkey
+            )
+            SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey,
+                   c.c_custkey IS NOT NULL AS known_customer,
+                   coalesce(o.n_orders, 0) AS n_orders,
+                   round(coalesce(o.total_spent, 0.0), 2) AS total_spent
+            FROM customer c FULL OUTER JOIN o ON c.c_custkey = o.o_custkey
+            ORDER BY custkey
+        """,
         "dedup_simhash": _simhash_oracle(),
         "embedding_near_dup": _EMBEDDING_NEAR_DUP_ORACLE,
         "expiry_filter": """
