@@ -150,3 +150,40 @@ def test_bfs_and_kcore_exact_on_random_graphs(spark, tmp_path_factory, raw_edges
     got_k = {r.vertex_id for r in kres.state.collect() if r.alive == 1}
     assert got_k == k_core_py(sorted(canon), verts_py, k)
     assert kres.converged
+
+
+@given(st.sets(edge_strategy, min_size=3, max_size=20))
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture])
+def test_clustering_and_jaccard_exact_on_random_graphs(spark, raw_edges):
+    """Local clustering coefficient and per-edge Jaccard vs adjacency-set
+    oracles on random graphs — covers hub/triangle-free/near-clique shapes."""
+    from sharetrace_giraph_spark.algorithms import clustering_coefficient, edge_jaccard
+
+    canon = {(min(u, v), max(u, v)) for u, v in raw_edges}
+    verts_py = sorted({v for e in canon for v in e})
+    edges = spark.createDataFrame(sorted(canon), "src long, dst long")
+    verts = spark.createDataFrame([(v,) for v in verts_py], "vertex_id long")
+
+    adj = {}
+    for u, v in canon:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+
+    got_c = {r.vertex_id: (r.deg, r.n_triangles, r.lcc)
+             for r in clustering_coefficient(spark, edges, verts).collect()}
+    for v in verts_py:
+        d = len(adj[v])
+        t = sum(1 for a in adj[v] for b in adj[v] if a < b and b in adj.get(a, set()))
+        exp_lcc = (2.0 * t / (d * (d - 1))) if d >= 2 else 0.0
+        assert got_c[v][0] == d and got_c[v][1] == t, v
+        assert abs(got_c[v][2] - exp_lcc) < 1e-12, v
+
+    got_j = {(r.src, r.dst): (r.n_common, r.jaccard)
+             for r in edge_jaccard(edges).collect()}
+    assert set(got_j) == canon
+    for (u, v), (nc, jac) in got_j.items():
+        inter = len(adj[u] & adj[v])
+        union = len(adj[u] | adj[v])
+        assert nc == inter, (u, v)
+        assert abs(jac - inter / union) < 1e-12, (u, v)
