@@ -99,16 +99,28 @@ def _pairs_grouped(spans: DataFrame) -> DataFrame:
     )
 
 
+#: the span frame persisted by the most recent join-strategy
+#: derive_contacts call — released on the next call (same one-live-cache
+#: pattern as algorithms/triangle_count._CACHED)
+_SPANS_CACHE: list = []
+
+
 def _pairs_join(spans: DataFrame) -> DataFrame:
-    """The equi self-join formulation of the same pair generation. Costs a
-    second evaluation of the span pipeline (Catalyst plans self-join
-    branches independently) but distributes a single giant session's
-    quadratic pair fan-out across tasks instead of one executor row —
-    choose it for corpora with pathologically large sessions. Measured on
-    150 conversations × ~700 turns each (near-complete 150-actor
-    sessions, 1.06M pairs): join 6.8-8.7s vs grouped 11-15s at local[32];
-    on 15k small conversations the ranking flips (grouped evaluates the
-    transcript scan once and adds zero shuffles)."""
+    """The equi self-join formulation of the same pair generation. The
+    span pipeline is PERSISTED so both self-join branches read one cached
+    evaluation (Catalyst plans the branches independently — uncached,
+    the whole sessionize+agg lineage would run twice). Distributes a
+    single giant session's quadratic pair fan-out across tasks instead
+    of one executor row — choose it for corpora with pathologically
+    large sessions. Measured on 150 conversations × ~700 turns each
+    (near-complete 150-actor sessions, 1.06M pairs): join 6.8-8.7s vs
+    grouped 11-15s at local[32]; on 15k small conversations the ranking
+    flips (grouped evaluates the transcript scan once and adds zero
+    shuffles)."""
+    while _SPANS_CACHE:
+        _SPANS_CACHE.pop().unpersist()
+    spans = spans.persist()
+    _SPANS_CACHE.append(spans)
     a, b = spans.alias("a"), spans.alias("b")
     return a.join(
         b,
