@@ -317,6 +317,60 @@ def q_graph_edge_jaccard(spark, sf_dir):
     )
 
 
+def q_graph_adamic_adar(spark, sf_dir):
+    """Adamic-Adar link score per contact edge (degree-discounted common
+    neighbors), in role space; credited from the triangle enumeration."""
+    from sharetrace_giraph_spark.algorithms import edge_adamic_adar
+
+    contacts, verts, enc = _graph(spark, sf_dir)
+    res = edge_adamic_adar(enc)
+    vsrc = verts.select(F.col("vertex_id").alias("src"), F.col("role").alias("src_role"))
+    vdst = verts.select(F.col("vertex_id").alias("dst"), F.col("role").alias("dst_role"))
+    return (
+        res.join(vsrc, "src")
+        .join(vdst, "dst")
+        .select("src_role", "dst_role", F.round("adamic_adar", 9).alias("adamic_adar"))
+        .orderBy("src_role", "dst_role")
+    )
+
+
+def q_graph_stats(spark, sf_dir):
+    """One-row global graph dashboard: |V|, |E|, mean degree, triangle
+    count, global clustering coefficient (3T / #wedges). The single-row
+    shape composes 1-row aggregates via broadcast crossJoins — the
+    standard way to assemble a scalar summary without collect()."""
+    from sharetrace_giraph_spark.algorithms.triangle_count import (
+        triangle_list, undirected_degree,
+    )
+
+    contacts, verts, enc = _graph(spark, sf_dir)
+    e = enc.select("src", "dst").distinct()
+    deg = undirected_degree(e)
+    vstats = deg.agg(
+        F.count(F.lit(1)).alias("n_vertices"),
+        F.round(F.avg("deg"), 6).alias("avg_degree"),
+        # wedges (paths of length 2) centered anywhere: sum deg*(deg-1)/2
+        (F.sum(F.col("deg") * (F.col("deg") - 1)) / 2).cast("long").alias("n_wedges"),
+    )
+    estats = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    tstats = triangle_list(e).agg(F.count(F.lit(1)).alias("n_triangles"))
+    return (
+        vstats.crossJoin(F.broadcast(estats))
+        .crossJoin(F.broadcast(tstats))
+        .select(
+            F.col("n_vertices").cast("long").alias("n_vertices"),
+            F.col("n_edges").cast("long").alias("n_edges"),
+            "avg_degree",
+            F.col("n_triangles").cast("long").alias("n_triangles"),
+            F.round(
+                F.when(F.col("n_wedges") > 0,
+                       3.0 * F.col("n_triangles") / F.col("n_wedges"))
+                .otherwise(F.lit(0.0)), 9
+            ).alias("global_clustering"),
+        )
+    )
+
+
 def q_graph_risk_prop(spark, sf_dir):
     from sharetrace_giraph_spark.algorithms import final_scores, risk_propagation
 
@@ -1106,6 +1160,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_triangles": q_graph_triangles,
         "graph_clustering": q_graph_clustering,
         "graph_edge_jaccard": q_graph_edge_jaccard,
+        "graph_adamic_adar": q_graph_adamic_adar,
+        "graph_stats": q_graph_stats,
         "graph_risk_prop": q_graph_risk_prop,
         # relational surface with DuckDB oracles
         "expiry_filter": q_expiry_filter,
@@ -1593,6 +1649,45 @@ _EDGE_JACCARD_ORACLE = f"""
 """
 
 
+_ADAMIC_ADAR_ORACLE = f"""
+    WITH {_EDGE_CTES},
+    deg AS (SELECT src AS v, count(*) AS deg FROM edges_u GROUP BY src),
+    aa AS (
+        SELECT e.src, e.dst, sum(1.0 / ln(d.deg)) AS adamic_adar
+        FROM edges_c e
+        JOIN edges_u a ON a.src = e.src
+        JOIN edges_u b ON b.src = e.dst AND b.dst = a.dst
+        JOIN deg d ON d.v = a.dst
+        GROUP BY e.src, e.dst
+    )
+    SELECT e.src AS src_role, e.dst AS dst_role,
+           round(coalesce(aa.adamic_adar, 0.0), 9) AS adamic_adar
+    FROM edges_c e
+    LEFT JOIN aa ON aa.src = e.src AND aa.dst = e.dst
+    ORDER BY src_role, dst_role
+"""
+
+
+_GRAPH_STATS_ORACLE = f"""
+    WITH {_EDGE_CTES},
+    deg AS (SELECT src AS v, count(*) AS deg FROM edges_u GROUP BY src),
+    tri AS (
+        SELECT a.src AS x, a.dst AS y, b.dst AS z
+        FROM edges_c a
+        JOIN edges_c b ON b.src = a.dst
+        JOIN edges_c c ON c.src = a.src AND c.dst = b.dst
+    )
+    SELECT CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_vertices,
+           CAST((SELECT count(*) FROM edges_c) AS BIGINT) AS n_edges,
+           round((SELECT avg(deg) FROM deg), 6) AS avg_degree,
+           CAST((SELECT count(*) FROM tri) AS BIGINT) AS n_triangles,
+           round(CASE WHEN (SELECT sum(deg * (deg - 1)) FROM deg) > 0
+                 THEN 3.0 * (SELECT count(*) FROM tri)
+                      / ((SELECT sum(deg * (deg - 1)) FROM deg) / 2)
+                 ELSE 0.0 END, 9) AS global_clustering
+"""
+
+
 _CC_ORACLE = f"""
     WITH RECURSIVE {_EDGE_CTES},
     reach(v, m) AS (
@@ -1648,6 +1743,8 @@ def oracle_sql() -> dict[str, str]:
         "graph_triangles": _TRIANGLES_ORACLE,
         "graph_clustering": _CLUSTERING_ORACLE,
         "graph_edge_jaccard": _EDGE_JACCARD_ORACLE,
+        "graph_adamic_adar": _ADAMIC_ADAR_ORACLE,
+        "graph_stats": _GRAPH_STATS_ORACLE,
         "graph_risk_prop": _risk_prop_oracle(),
         "dedup_minhash_lsh": _MINHASH_LSH_ORACLE,
         "dedup_near_clusters": _DEDUP_CLUSTERS_ORACLE,

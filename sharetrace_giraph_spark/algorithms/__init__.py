@@ -4,7 +4,12 @@ from .kcore import k_core
 from .label_propagation import label_propagation
 from .pagerank import pagerank
 from .risk_propagation import final_scores, init_state, risk_propagation
-from .triangle_count import clustering_coefficient, edge_jaccard, triangles
+from .triangle_count import (
+    clustering_coefficient,
+    edge_adamic_adar,
+    edge_jaccard,
+    triangles,
+)
 
 __all__ = [
     "bfs",
@@ -19,4 +24,5 @@ __all__ = [
     "triangles",
     "clustering_coefficient",
     "edge_jaccard",
+    "edge_adamic_adar",
 ]

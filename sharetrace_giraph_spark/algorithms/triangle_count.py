@@ -186,3 +186,43 @@ def edge_jaccard(edges: DataFrame) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+def edge_adamic_adar(edges: DataFrame) -> DataFrame:
+    """Adamic-Adar index per (existing) edge — the degree-discounted
+    common-neighbor score: ``AA(u,v) = Σ_{w ∈ N(u) ∩ N(v)} 1/ln(deg(w))``
+    (rare shared neighbors count more than hub co-membership).
+
+    Derived from the same oriented triangle enumeration as
+    :func:`edge_jaccard` — each triangle credits each of its three edges
+    with ``1/ln(deg(opposite vertex))``; a vertex inside a triangle has
+    degree >= 2, so the log is never zero. Skew bound inherited from the
+    orientation (O(sqrt(E)) oriented out-degree). Returns
+    ``(src, dst, adamic_adar)`` for every canonical edge (0.0 when the
+    endpoints share no neighbor).
+    """
+    e = edges.select("src", "dst").distinct()
+    tri = triangle_list(e)
+    contrib = tri.select(
+        F.explode(
+            F.array(
+                F.struct(F.least("a", "b").alias("src"),
+                         F.greatest("a", "b").alias("dst"), F.col("c").alias("w")),
+                F.struct(F.least("a", "c").alias("src"),
+                         F.greatest("a", "c").alias("dst"), F.col("b").alias("w")),
+                F.struct(F.least("b", "c").alias("src"),
+                         F.greatest("b", "c").alias("dst"), F.col("a").alias("w")),
+            )
+        ).alias("t")
+    ).select("t.src", "t.dst", "t.w")
+    wdeg = undirected_degree(e).select(
+        F.col("v").alias("w"), (F.lit(1.0) / F.log(F.col("deg"))).alias("aa_term")
+    )
+    scores = (
+        contrib.join(wdeg, "w")
+        .groupBy("src", "dst")
+        .agg(F.sum("aa_term").alias("adamic_adar"))
+    )
+    return e.join(scores, ["src", "dst"], "left").select(
+        "src", "dst", F.coalesce("adamic_adar", F.lit(0.0)).alias("adamic_adar")
+    )

@@ -424,3 +424,22 @@ def test_k_core_salted_matches_unsalted(spark, medium_graph, ckpt):
                  max_supersteps=30, salt_threshold=5, salts=4)
     got = {r.vertex_id for r in res.state.collect() if r.alive == 1}
     assert got == k_core_py(edge_list, vs, 4)
+
+
+def test_edge_adamic_adar_exact(spark, medium_graph, ckpt):
+    """AA(u,v) = sum over common neighbors of 1/ln(deg(w)) vs adjacency
+    sets; edges with no common neighbor score 0."""
+    import math
+
+    from sharetrace_giraph_spark.algorithms import edge_adamic_adar
+
+    _, verts, enc, edge_list = medium_graph
+    adj = {}
+    for u, v in edge_list:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    got = {(r.src, r.dst): r.adamic_adar for r in edge_adamic_adar(enc).collect()}
+    assert set(got) == {(min(u, v), max(u, v)) for u, v in edge_list}
+    for (u, v), aa in got.items():
+        exp = sum(1.0 / math.log(len(adj[w])) for w in adj[u] & adj[v])
+        assert abs(aa - exp) < 1e-9, (u, v)
