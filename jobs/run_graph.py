@@ -47,7 +47,7 @@ def main() -> None:
         "--algorithm",
         required=True,
         choices=["pagerank", "cc", "lpa", "triangles", "risk_prop",
-                 "bfs", "clustering", "edge_jaccard", "kcore"],
+                 "bfs", "clustering", "edge_jaccard", "adamic_adar", "kcore"],
     )
     ap.add_argument("--k", type=int, default=3, help="kcore only: the core order k")
     ap.add_argument("--cc-method", default="frontier", choices=["frontier", "doubling"],
@@ -190,18 +190,19 @@ def main() -> None:
             .join(verts, "vertex_id")
             .select("role", "deg", "n_triangles", "lcc")
         )
-    elif args.algorithm == "edge_jaccard":
+    elif args.algorithm in ("edge_jaccard", "adamic_adar"):
         import pyspark.sql.functions as F
 
-        from sharetrace_giraph_spark.algorithms import edge_jaccard
+        from sharetrace_giraph_spark.algorithms import edge_adamic_adar, edge_jaccard
 
         res = None
+        scores = (
+            edge_jaccard(enc) if args.algorithm == "edge_jaccard"
+            else edge_adamic_adar(enc)
+        )
         vsrc = verts.select(F.col("vertex_id").alias("src"), F.col("role").alias("src_role"))
         vdst = verts.select(F.col("vertex_id").alias("dst"), F.col("role").alias("dst_role"))
-        out = (
-            edge_jaccard(enc).join(vsrc, "src").join(vdst, "dst")
-            .select("src_role", "dst_role", "n_common", "jaccard")
-        )
+        out = scores.join(vsrc, "src").join(vdst, "dst").drop("src", "dst")
     elif args.algorithm == "lpa":
         from sharetrace_giraph_spark.algorithms import label_propagation
 
