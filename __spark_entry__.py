@@ -207,6 +207,47 @@ def q_graph_lpa(spark, sf_dir):
     )
 
 
+def q_graph_lpa_weighted(spark, sf_dir):
+    """Duration-weighted LPA: each neighbor's vote counts its contact
+    edge's total co-presence duration (+1 ms floor) — INTEGER weights, so
+    the per-label vote sums (and hence the argmax) are exact on both the
+    engine and the DuckDB replay. Same (sum desc, label asc) tie-break
+    as the unweighted query, order-isomorphic between ids and roles."""
+    from sharetrace_giraph_spark.algorithms import label_propagation
+    from sharetrace_giraph_spark.operators import edges as E
+
+    contacts, verts, enc = _graph(spark, sf_dir)
+    wc = contacts.select(
+        "src", "dst",
+        (
+            F.aggregate(
+                "occurrences", F.lit(0).cast("long"),
+                lambda acc, o: acc + o["duration_ms"],
+            ) + 1
+        ).cast("long").alias("w"),
+    )
+    vsrc = verts.select(F.col("role").alias("src"), F.col("vertex_id").alias("src_id"))
+    vdst = verts.select(F.col("role").alias("dst"), F.col("vertex_id").alias("dst_id"))
+    wenc = (
+        wc.join(vsrc, "src").join(vdst, "dst")
+        .select(F.col("src_id").alias("src"), F.col("dst_id").alias("dst"), "w")
+    )
+    wund = wenc.unionByName(
+        wenc.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    )
+    res = label_propagation(spark, wund, verts, _ckpt(), run_id="qlw",
+                            max_supersteps=5, checkpoint_every=2, weight_col="w")
+    label_roles = verts.select(
+        F.col("vertex_id").alias("label"), F.col("role").alias("label_role")
+    )
+    return (
+        res.state.join(verts, "vertex_id")
+        .join(label_roles, "label")
+        .select("role", "label_role")
+        .orderBy("role")
+    )
+
+
 def q_graph_bfs(spark, sf_dir):
     """Hop distance from the lexicographically smallest actor, in role
     space. The frontier superstep loop settles hop k at superstep k, so
@@ -1155,6 +1196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_cc_doubling": q_graph_cc_doubling,
         "graph_component_sizes": q_graph_component_sizes,
         "graph_lpa": q_graph_lpa,
+        "graph_lpa_weighted": q_graph_lpa_weighted,
         "graph_bfs": q_graph_bfs,
         "graph_kcore": q_graph_kcore,
         "graph_triangles": q_graph_triangles,
@@ -1320,6 +1362,35 @@ def _lpa_oracle(supersteps: int = 5) -> str:
         l0 AS (SELECT role, role AS label FROM verts),
         {",".join(steps)}
         SELECT role, label AS label_role FROM l{supersteps} ORDER BY role
+    """
+
+
+def _lpa_weighted_oracle(supersteps: int = 5) -> str:
+    """Weighted LPA unrolled: per step each vertex adopts the label with
+    the largest SUM of integer edge weights under the (sum desc, label
+    asc) tie-break. Weights replay the engine's duration+1 per contact
+    (BIGINT, so the argmax is exact)."""
+    steps = []
+    for k in range(1, supersteps + 1):
+        steps.append(f"""
+    lw{k} AS (
+        SELECT mdst AS role, nbr_label AS label FROM (
+            SELECT e.dst AS mdst, r.label AS nbr_label, sum(e.w) AS cnt,
+                   row_number() OVER (PARTITION BY e.dst
+                       ORDER BY sum(e.w) DESC, r.label ASC) AS rn
+            FROM wu e JOIN lw{k - 1} r ON e.src = r.role
+            GROUP BY e.dst, r.label
+        ) WHERE rn = 1
+    )""")
+    return f"""
+        WITH {_EDGE_CTES},
+        w AS (SELECT src, dst, CAST(sum(dur_s) * 1000 + 1 AS BIGINT) AS w
+              FROM dedup GROUP BY src, dst),
+        wu AS (SELECT src, dst, w FROM w
+               UNION ALL SELECT dst AS src, src AS dst, w FROM w),
+        lw0 AS (SELECT role, role AS label FROM verts),
+        {",".join(steps)}
+        SELECT role, label AS label_role FROM lw{supersteps} ORDER BY role
     """
 
 
@@ -1738,6 +1809,7 @@ def oracle_sql() -> dict[str, str]:
             FROM sizes GROUP BY size ORDER BY size
         """,
         "graph_lpa": _lpa_oracle(),
+        "graph_lpa_weighted": _lpa_weighted_oracle(),
         "graph_bfs": _BFS_ORACLE,
         "graph_kcore": _kcore_oracle(),
         "graph_triangles": _TRIANGLES_ORACLE,

@@ -33,15 +33,23 @@ def label_propagation(
     checkpoint_every: int = 1,
     salt_threshold: int | None = None,
     salts: int = 16,
+    weight_col: str | None = None,
 ) -> SuperstepResult:
     """Returns state (vertex_id, label, delta). Labels init to vertex_id.
 
     ``salt_threshold`` mirrors ``pagerank(salt_threshold=...)``: a hub
     dst whose neighbors share one label makes the (dst, label) count key
     hot; two-level salting counts per (dst, label, salt) first, then sums
-    the partials — count is decomposable, results identical."""
+    the partials — count is decomposable, results identical.
+
+    ``weight_col``: optional edge-weight column — each neighbor's vote
+    counts its weight instead of 1 (weighted-mode adoption). Prefer
+    INTEGER weights: the label argmax compares vote sums, and float sums
+    are summation-order-sensitive, which would make near-ties
+    nondeterministic; integer sums are exact."""
+    cols = ["src", "dst"] + ([weight_col] if weight_col else [])
     e, num_partitions = prepare_edges(
-        spark, edges.select("src", "dst"), "src", num_partitions
+        spark, edges.select(*cols), "src", num_partitions
     )
     verts = vertices.select("vertex_id").persist()
 
@@ -54,9 +62,12 @@ def label_propagation(
 
     init = verts.select("vertex_id", F.col("vertex_id").alias("label"), F.lit(1.0).alias("delta"))
 
+    vote = F.col(weight_col) if weight_col else F.lit(1)
+
     def step(state: DataFrame, k: int) -> DataFrame:
         msgs = e.join(state, e.src == state.vertex_id).select(
-            e.dst.alias("mdst"), F.col("label").alias("nbr_label")
+            e.dst.alias("mdst"), F.col("label").alias("nbr_label"),
+            vote.alias("_vote"),
         )
         if hubs is not None:
             salted = msgs.join(
@@ -71,14 +82,14 @@ def label_propagation(
                 ).otherwise(F.lit(0)),
             )
             partial = salted.groupBy("mdst", "nbr_label", "_salt").agg(
-                F.count(F.lit(1)).alias("cnt")
+                F.sum("_vote").alias("cnt")
             )
             label_counts = partial.groupBy("mdst", "nbr_label").agg(
                 F.sum("cnt").alias("cnt")
             )
         else:
             label_counts = msgs.groupBy("mdst", "nbr_label").agg(
-                F.count(F.lit(1)).alias("cnt")
+                F.sum("_vote").alias("cnt")
             )
         # mode with (count desc, label asc) tie-break: max_by over (cnt, -label)
         mode = label_counts.groupBy("mdst").agg(

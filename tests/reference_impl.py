@@ -263,3 +263,26 @@ def k_core_py(edges, vertices, k):
         if not dead:
             return alive
         alive -= dead
+
+
+def lpa_weighted_py(wedges, vertices, max_iters=5):
+    """Synchronous weighted LPA: adopt the label with the largest sum of
+    incident edge weights, tie-break (sum desc, label asc). ``wedges``:
+    DIRECTED (src, dst, w). Matches label_propagation(weight_col=...)."""
+    inc = defaultdict(list)
+    for u, v, w in wedges:
+        inc[v].append((u, w))
+    verts = sorted(vertices)
+    label = {v: v for v in verts}
+    for _ in range(max_iters):
+        new = {}
+        for v in verts:
+            votes = defaultdict(int)
+            for u, w in inc.get(v, ()):
+                votes[label[u]] += w
+            if votes:
+                new[v] = min(votes, key=lambda l: (-votes[l], l))
+            else:
+                new[v] = label[v]
+        label = new
+    return label

@@ -443,3 +443,29 @@ def test_edge_adamic_adar_exact(spark, medium_graph, ckpt):
     for (u, v), aa in got.items():
         exp = sum(1.0 / math.log(len(adj[w])) for w in adj[u] & adj[v])
         assert abs(aa - exp) < 1e-9, (u, v)
+
+
+def test_lpa_weighted_exact(spark, medium_graph, ckpt):
+    """Weighted LPA (integer weights, deterministic tie-break) matches the
+    Python oracle step-for-step; constant weights reduce to unweighted."""
+    from .reference_impl import lpa_weighted_py
+
+    _, verts, enc, edge_list = medium_graph
+    und = E.undirect(enc)
+    w = und.withColumn(
+        "w", (F.pmod(F.xxhash64("src", "dst"), F.lit(9)) + 1).cast("long")
+    )
+    res = label_propagation(spark, w, verts, ckpt, run_id="lpa-w",
+                            max_supersteps=5, weight_col="w")
+    got = {r.vertex_id: r.label for r in res.state.collect()}
+    wedges = [(r.src, r.dst, r.w) for r in w.collect()]
+    exp = lpa_weighted_py(wedges, _vertices_of(edge_list), max_iters=5)
+    assert got == exp
+
+    wconst = und.withColumn("w", F.lit(7).cast("long"))
+    wres = label_propagation(spark, wconst, verts, ckpt, run_id="lpa-wc",
+                             max_supersteps=5, weight_col="w")
+    base = label_propagation(spark, und, verts, ckpt, run_id="lpa-wb",
+                             max_supersteps=5)
+    assert ({r.vertex_id: r.label for r in wres.state.collect()}
+            == {r.vertex_id: r.label for r in base.state.collect()})
