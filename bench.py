@@ -395,8 +395,17 @@ Full per-cores JSON:
 {os.linesep.join(json.dumps(results[cs]) for cs in sorted(results))}
 ```
 """
-    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
-        f.write(md)
+    # preserve everything appended after the generated scaling evidence
+    # (round-over-round delta table, protocol notes) across re-runs
+    out_path = os.path.join(REPO, "BENCH.md")
+    tail = ""
+    if os.path.exists(out_path):
+        existing = open(out_path).read()
+        idx = existing.find("## Headline per-query delta")
+        if idx != -1:
+            tail = "\n" + existing[idx:]
+    with open(out_path, "w") as f:
+        f.write(md + tail)
 
 
 if __name__ == "__main__":
