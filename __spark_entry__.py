@@ -960,6 +960,46 @@ def q_dedup_near_clusters(spark, sf_dir):
     )
 
 
+def q_json_extract_agg(spark, sf_dir):
+    """Semi-structured column surface: parse the events JSON props column
+    JVM-side (`get_json_object` — codegen, no Python) and aggregate the
+    extracted field per event type."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_pivot_counts(spark, sf_dir):
+    """Pivot (§2.4-style reshaping): daily event counts widened to one
+    column per event type. The value list is explicit, so the output
+    schema is static — the form that scales (an inferred pivot would scan
+    the column for distinct values first)."""
+    ev = _t(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts").cast("timestamp")).alias("day")
+    piv = (
+        ev.select(F.unix_timestamp(day).alias("day_s"), "event_type")
+        .groupBy("day_s")
+        .pivot("event_type", _EVENT_TYPES)
+        .count()
+        .na.fill(0, _EVENT_TYPES)
+    )
+    return piv.select(
+        "day_s", *[F.col(t).cast("long").alias(f"n_{t}") for t in _EVENT_TYPES]
+    ).orderBy("day_s")
+
+
 def q_sample_hash_split(spark, sf_dir):
     """Deterministic train/val/test assignment by md5 bucket — the
     reproducible splitting a training-data pipeline needs: no RNG, the
@@ -1238,6 +1278,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "sample_hash_split": q_sample_hash_split,
         "full_outer_reconcile": q_full_outer_reconcile,
+        "json_extract_agg": q_json_extract_agg,
+        "pivot_counts": q_pivot_counts,
         "text_fingerprint": q_text_fingerprint,
         "text_token_count": q_text_token_count,
         "text_token_count_bpe": q_text_token_count_bpe,
@@ -1829,6 +1871,24 @@ def oracle_sql() -> dict[str, str]:
                                   AS BIGINT) % 100 AS b
                       FROM documents)
             ) GROUP BY split ORDER BY split
+        """,
+        "json_extract_agg": """
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                        AS BIGINT) AS sum_k,
+                   round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6)
+                       AS avg_k
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "pivot_counts": """
+            SELECT CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS day_s,
+                   CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+                   CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+                   CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+                   CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+                   CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+            FROM events GROUP BY 1 ORDER BY day_s
         """,
         "full_outer_reconcile": """
             WITH o AS (
