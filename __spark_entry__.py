@@ -80,6 +80,30 @@ def _ckpt() -> str:
     return tempfile.mkdtemp(prefix="stgs-ckpt-")
 
 
+def _weighted_und(contacts, verts, cast: str):
+    """Undirected encoded edges weighted by total co-presence duration_ms
+    + 1 per contact (the +1 keeps every live edge positive) — shared by
+    the weighted-LPA / personalized-PageRank / shortest-path queries."""
+    wc = contacts.select(
+        "src", "dst",
+        (
+            F.aggregate(
+                "occurrences", F.lit(0).cast("long"),
+                lambda acc, o: acc + o["duration_ms"],
+            ) + 1
+        ).cast(cast).alias("w"),
+    )
+    vsrc = verts.select(F.col("role").alias("src"), F.col("vertex_id").alias("src_id"))
+    vdst = verts.select(F.col("role").alias("dst"), F.col("vertex_id").alias("dst_id"))
+    wenc = (
+        wc.join(vsrc, "src").join(vdst, "dst")
+        .select(F.col("src_id").alias("src"), F.col("dst_id").alias("dst"), "w")
+    )
+    return wenc.unionByName(
+        wenc.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    )
+
+
 # ---------------------------------------------------------------------------
 # the queries
 # ---------------------------------------------------------------------------
@@ -217,24 +241,7 @@ def q_graph_lpa_weighted(spark, sf_dir):
     from sharetrace_giraph_spark.operators import edges as E
 
     contacts, verts, enc = _graph(spark, sf_dir)
-    wc = contacts.select(
-        "src", "dst",
-        (
-            F.aggregate(
-                "occurrences", F.lit(0).cast("long"),
-                lambda acc, o: acc + o["duration_ms"],
-            ) + 1
-        ).cast("long").alias("w"),
-    )
-    vsrc = verts.select(F.col("role").alias("src"), F.col("vertex_id").alias("src_id"))
-    vdst = verts.select(F.col("role").alias("dst"), F.col("vertex_id").alias("dst_id"))
-    wenc = (
-        wc.join(vsrc, "src").join(vdst, "dst")
-        .select(F.col("src_id").alias("src"), F.col("dst_id").alias("dst"), "w")
-    )
-    wund = wenc.unionByName(
-        wenc.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
-    )
+    wund = _weighted_und(contacts, verts, "long")
     res = label_propagation(spark, wund, verts, _ckpt(), run_id="qlw",
                             max_supersteps=5, checkpoint_every=2, weight_col="w")
     label_roles = verts.select(
@@ -267,6 +274,29 @@ def q_graph_bfs(spark, sf_dir):
     )
 
 
+def q_graph_sssp(spark, sf_dir):
+    """Weighted single-source shortest paths (min-plus Bellman-Ford
+    supersteps, the canonical Pregel computation) from the
+    lexicographically smallest actor; edge cost = total co-presence
+    duration_ms + 1 (LONG, so relaxation arithmetic is exact). The
+    engine halts at the fixed point; the oracle unrolls 30 synchronous
+    relaxations (idempotent past the fixed point, same protocol as the
+    k-core oracle), so both sides agree at any convergence depth."""
+    from sharetrace_giraph_spark.algorithms import UNREACHED, shortest_paths
+
+    contacts, verts, enc = _graph(spark, sf_dir)
+    wund = _weighted_und(contacts, verts, "long")
+    seed = verts.orderBy("role").limit(1).select("vertex_id")
+    res = shortest_paths(spark, wund, verts, seed, _ckpt(), run_id="qsp",
+                         max_supersteps=30, checkpoint_every=2)
+    return (
+        res.state.where(F.col("dist") < UNREACHED)
+        .join(verts, "vertex_id")
+        .select("role", F.col("dist").cast("long").alias("dist"))
+        .orderBy("role")
+    )
+
+
 def q_graph_triangles(spark, sf_dir):
     from sharetrace_giraph_spark.algorithms import triangles
     from sharetrace_giraph_spark.operators import edges as E
@@ -286,24 +316,7 @@ def q_graph_ppr(spark, sf_dir):
     from sharetrace_giraph_spark.operators import edges as E
 
     contacts, verts, enc = _graph(spark, sf_dir)
-    wc = contacts.select(
-        "src", "dst",
-        (
-            F.aggregate(
-                "occurrences", F.lit(0).cast("long"),
-                lambda acc, o: acc + o["duration_ms"],
-            ) + 1
-        ).cast("double").alias("w"),
-    )
-    vsrc = verts.select(F.col("role").alias("src"), F.col("vertex_id").alias("src_id"))
-    vdst = verts.select(F.col("role").alias("dst"), F.col("vertex_id").alias("dst_id"))
-    wenc = (
-        wc.join(vsrc, "src").join(vdst, "dst")
-        .select(F.col("src_id").alias("src"), F.col("dst_id").alias("dst"), "w")
-    )
-    wund = wenc.unionByName(
-        wenc.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
-    )
+    wund = _weighted_und(contacts, verts, "double")
     seed = verts.orderBy("role").limit(1).select("vertex_id")
     res = pagerank(spark, wund, verts, _ckpt(), run_id="qppr",
                    tolerance=0.0, max_supersteps=5, checkpoint_every=2,
@@ -1046,6 +1059,37 @@ def q_full_outer_reconcile(spark, sf_dir):
     ).orderBy("custkey")
 
 
+def q_asof_join_latest(spark, sf_dir):
+    """As-of join (operators/asof.py): enrich every event with the same
+    user's latest at-or-before purchase value — the nearest-prior-state
+    lookup Spark has no native join type for, expressed as union + one
+    keyed window (1 shuffle, no range cross-join). DuckDB's native
+    ASOF LEFT JOIN is the oracle."""
+    from sharetrace_giraph_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    probes = ev.select("event_id", "user_id", "ts")
+    quotes = ev.where(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    res = asof_join(probes, quotes, on="user_id", value_cols=("value",))
+    return res.select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").alias("ts_s"),
+        F.unix_timestamp("asof_ts").alias("purchase_ts_s"),
+        F.round("asof_value", 6).alias("purchase_value"),
+    ).orderBy("event_id")
+
+
+def q_text_tfidf_top(spark, sf_dir):
+    """Top-3 characteristic terms per document by tf-idf — explode + two
+    hash aggs + broadcast corpus size + per-doc top-k window, all
+    JVM-side (operators/text.tfidf_top_terms)."""
+    from sharetrace_giraph_spark.operators.text import tfidf_top_terms
+
+    d = _t(spark, sf_dir, "documents")
+    return tfidf_top_terms(d, k=3).orderBy("doc_id", "rank")
+
+
 def q_dedup_simhash(spark, sf_dir):
     """SimHash near-dup: 60-bit JVM-side signature (md5-derived token
     hashes, bit-vote aggregates — zero Python), Hamming <= 3 within
@@ -1238,6 +1282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_lpa": q_graph_lpa,
         "graph_lpa_weighted": q_graph_lpa_weighted,
         "graph_bfs": q_graph_bfs,
+        "graph_sssp": q_graph_sssp,
         "graph_kcore": q_graph_kcore,
         "graph_triangles": q_graph_triangles,
         "graph_clustering": q_graph_clustering,
@@ -1278,6 +1323,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "sample_hash_split": q_sample_hash_split,
         "full_outer_reconcile": q_full_outer_reconcile,
+        "asof_join_latest": q_asof_join_latest,
+        "text_tfidf_top": q_text_tfidf_top,
         "json_extract_agg": q_json_extract_agg,
         "pivot_counts": q_pivot_counts,
         "text_fingerprint": q_text_fingerprint,
@@ -1674,6 +1721,48 @@ def _kcore_oracle(rounds: int = 30) -> str:
     """
 
 
+#: the engine's UNREACHED sentinel (1 << 62), for the SSSP oracle
+_SSSP_INF = 1 << 62
+
+
+def _sssp_oracle(rounds: int = 30) -> str:
+    """Weighted SSSP unrolled to CTEs d0..dN with N = the engine's
+    max_supersteps (30): each round every vertex takes the min of its own
+    distance and min over in-edges of (neighbor distance + weight) —
+    synchronous Bellman-Ford relaxation, which computes the same per-round
+    values as the engine's frontier messaging (min is idempotent; a
+    non-improved neighbor's contribution was folded earlier). Rounds past
+    the fixed point are idempotent, so the oracle replays the engine
+    bit-exactly at any convergence depth (same protocol as _kcore_oracle).
+    Weights are BIGINT (duration_ms + 1), so arithmetic is exact."""
+    steps = []
+    for r in range(1, rounds + 1):
+        # MATERIALIZED: each round references the previous one twice
+        steps.append(f"""
+    d{r} AS MATERIALIZED (
+        SELECT d.role,
+               least(d.dist, coalesce(min(r.dist + e.w), d.dist)) AS dist
+        FROM d{r - 1} d
+        LEFT JOIN wu e ON e.dst = d.role
+        LEFT JOIN d{r - 1} r ON r.role = e.src
+        GROUP BY d.role, d.dist
+    )""")
+    return f"""
+        WITH {_EDGE_CTES},
+        w AS (SELECT src, dst, CAST(sum(dur_s) * 1000 + 1 AS BIGINT) AS w
+              FROM dedup GROUP BY src, dst),
+        wu AS (SELECT src, dst, w FROM w
+               UNION ALL SELECT dst AS src, src AS dst, w FROM w),
+        seed AS (SELECT min(role) AS s FROM verts),
+        d0 AS MATERIALIZED (
+            SELECT role, CASE WHEN role = (SELECT s FROM seed)
+                              THEN 0 ELSE {_SSSP_INF} END AS dist FROM verts),
+        {",".join(steps)}
+        SELECT role, CAST(dist AS BIGINT) AS dist
+        FROM d{rounds} WHERE dist < {_SSSP_INF} ORDER BY role
+    """
+
+
 def _ppr_oracle(supersteps: int = 5, damping: float = 0.85) -> str:
     """Weighted personalized PageRank unrolled to CTEs p0..pK. Weights =
     per-contact total co-presence duration (ms) + 1 over the dedup'd
@@ -1853,6 +1942,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_lpa": _lpa_oracle(),
         "graph_lpa_weighted": _lpa_weighted_oracle(),
         "graph_bfs": _BFS_ORACLE,
+        "graph_sssp": _sssp_oracle(),
         "graph_kcore": _kcore_oracle(),
         "graph_triangles": _TRIANGLES_ORACLE,
         "graph_clustering": _CLUSTERING_ORACLE,
@@ -1903,6 +1993,45 @@ def oracle_sql() -> dict[str, str]:
                    round(coalesce(o.total_spent, 0.0), 2) AS total_spent
             FROM customer c FULL OUTER JOIN o ON c.c_custkey = o.o_custkey
             ORDER BY custkey
+        """,
+        "asof_join_latest": """
+            WITH q AS (
+                SELECT user_id, ts, max(value) AS value
+                FROM events WHERE event_type = 'purchase'
+                GROUP BY user_id, ts
+            )
+            SELECT e.event_id, e.user_id,
+                   CAST(floor(epoch(e.ts)) AS BIGINT) AS ts_s,
+                   CAST(floor(epoch(q.ts)) AS BIGINT) AS purchase_ts_s,
+                   round(q.value, 6) AS purchase_value
+            FROM events e ASOF LEFT JOIN q
+              ON e.user_id = q.user_id AND e.ts >= q.ts
+            ORDER BY e.event_id
+        """,
+        "text_tfidf_top": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(list_filter(string_split_regex(text, '\\s+'),
+                                          x -> x <> '')) AS term
+                FROM documents
+            ), tf AS (
+                SELECT doc_id, term, count(*) AS tf
+                FROM toks GROUP BY doc_id, term
+            ), dfq AS (
+                SELECT term, count(*) AS df FROM tf GROUP BY term
+            ), nd AS (
+                SELECT CAST(count(*) AS DOUBLE) AS n FROM documents
+            ), s AS (
+                SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+                       tf.tf * ln((SELECT n FROM nd) / dfq.df) AS score
+                FROM tf JOIN dfq USING (term)
+            )
+            SELECT doc_id, CAST(rank AS INT) AS rank, term,
+                   CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+                   round(score, 6) AS tfidf
+            FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                      ORDER BY score DESC, term ASC) AS rank FROM s)
+            WHERE rank <= 3 ORDER BY doc_id, rank
         """,
         "dedup_simhash": _simhash_oracle(),
         "embedding_near_dup": _EMBEDDING_NEAR_DUP_ORACLE,

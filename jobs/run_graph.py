@@ -47,7 +47,8 @@ def main() -> None:
         "--algorithm",
         required=True,
         choices=["pagerank", "cc", "lpa", "triangles", "risk_prop",
-                 "bfs", "clustering", "edge_jaccard", "adamic_adar", "kcore"],
+                 "bfs", "sssp", "clustering", "edge_jaccard", "adamic_adar",
+                 "kcore"],
     )
     ap.add_argument("--k", type=int, default=3, help="kcore only: the core order k")
     ap.add_argument("--cc-method", default="frontier", choices=["frontier", "doubling"],
@@ -163,6 +164,48 @@ def main() -> None:
             seed = verts.orderBy("role").limit(1).select("vertex_id")
         res = bfs(
             spark, E.undirect(enc), verts, seed, args.checkpoint_dir,
+            run_id=args.run_id, max_supersteps=args.max_supersteps, resume=resume,
+            salt_threshold=args.salt_threshold,
+        )
+        out = (
+            res.state.where(F.col("dist") < UNREACHED)
+            .join(verts, "vertex_id").select("role", "dist")
+        )
+    elif args.algorithm == "sssp":
+        import pyspark.sql.functions as F
+
+        from sharetrace_giraph_spark.algorithms import UNREACHED, shortest_paths
+
+        if args.bfs_sources:
+            roles = [r.strip() for r in args.bfs_sources.split(",") if r.strip()]
+            seed = verts.where(F.col("role").isin(roles)).select("vertex_id")
+            if seed.count() == 0:
+                raise SystemExit(
+                    f"--bfs-sources matched no vertex (asked for {roles!r})"
+                )
+        else:
+            seed = verts.orderBy("role").limit(1).select("vertex_id")
+        # edge cost = total co-presence duration_ms + 1 (positive long)
+        wc = contacts.select(
+            "src", "dst",
+            (
+                F.aggregate(
+                    "occurrences", F.lit(0).cast("long"),
+                    lambda acc, o: acc + o["duration_ms"],
+                ) + 1
+            ).cast("long").alias("w"),
+        )
+        vs = verts.select(F.col("role").alias("src"), F.col("vertex_id").alias("src_id"))
+        vd = verts.select(F.col("role").alias("dst"), F.col("vertex_id").alias("dst_id"))
+        wenc = (
+            wc.join(vs, "src").join(vd, "dst")
+            .select(F.col("src_id").alias("src"), F.col("dst_id").alias("dst"), "w")
+        )
+        wund = wenc.unionByName(
+            wenc.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+        )
+        res = shortest_paths(
+            spark, wund, verts, seed, args.checkpoint_dir,
             run_id=args.run_id, max_supersteps=args.max_supersteps, resume=resume,
             salt_threshold=args.salt_threshold,
         )

@@ -4,6 +4,7 @@ from .kcore import k_core
 from .label_propagation import label_propagation
 from .pagerank import pagerank
 from .risk_propagation import final_scores, init_state, risk_propagation
+from .sssp import shortest_paths
 from .triangle_count import (
     clustering_coefficient,
     edge_adamic_adar,
@@ -14,6 +15,7 @@ from .triangle_count import (
 __all__ = [
     "bfs",
     "UNREACHED",
+    "shortest_paths",
     "connected_components",
     "k_core",
     "label_propagation",

@@ -10,7 +10,7 @@ exact SQL oracle.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
 #: tiny per-language stopword lexicons for the n-gram/stopword language-ID
 #: heuristic (public knowledge; deliberately small and deterministic)
@@ -114,4 +114,45 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         F.md5(F.array_join(F.array_sort(F.array_distinct(tokens(text_col))), " ")).alias(
             "fp"
         ),
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Top-k characteristic terms per document by tf-idf.
+
+    All JVM-side: explode → two hash aggs (term freq per doc, doc freq
+    per term) → broadcast the 1-row corpus size → per-doc top-k window.
+    The doc-frequency side aggregates over the (already reduced) per-doc
+    term table, not the raw token stream, so the second shuffle carries
+    at most |vocab x docs-containing| rows. idf = ln(N / df) with no
+    smoothing — deterministic double arithmetic shared with the DuckDB
+    oracle (identical IEEE ops → identical ordering); ties break by term
+    ascending.
+    """
+    per_doc = (
+        df.select(id_col, F.explode(tokens(text_col)).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    doc_freq = per_doc.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    scored = (
+        per_doc.join(doc_freq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("score", F.col("tf") * F.log(F.col("n_docs") / F.col("df")))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            id_col,
+            "rank",
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            F.round("score", 6).alias("tfidf"),
+        )
     )

@@ -286,3 +286,24 @@ def lpa_weighted_py(wedges, vertices, max_iters=5):
                 new[v] = label[v]
         label = new
     return label
+
+
+def sssp_py(wedges, vertices, sources):
+    """Dijkstra over DIRECTED (src, dst, w) with positive integer weights.
+    Unreached vertices are absent from the result."""
+    import heapq
+
+    adj = defaultdict(list)
+    for u, v, w in wedges:
+        adj[u].append((v, w))
+    dist = {}
+    heap = [(0, s) for s in sources if s in set(vertices)]
+    while heap:
+        d, v = heapq.heappop(heap)
+        if v in dist:
+            continue
+        dist[v] = d
+        for u, w in adj[v]:
+            if u not in dist:
+                heapq.heappush(heap, (d + w, u))
+    return dist
