@@ -174,3 +174,50 @@ def test_bfs_message_agg_partial_final(spark, tmp_path):
     assert "partial_min" in plan
     assert "SinglePartition" not in plan
     e.unpersist()
+
+
+def test_asof_join_plans_one_keyed_window_no_cartesian(spark):
+    """The as-of join must compile to a single keyed window over the
+    unioned stream — never a cartesian / nested-loop range join, never a
+    SinglePartition exchange (the key partitions the window)."""
+    from sharetrace_giraph_spark.operators.asof import asof_join
+
+    probes = spark.range(0, 1000).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 50).alias("user"),
+        F.timestamp_seconds(F.col("id") + 1700000000).alias("ts"),
+    )
+    quotes = spark.range(0, 200).select(
+        (F.col("id") % 50).alias("user"),
+        F.timestamp_seconds(F.col("id") * 3 + 1700000000).alias("ts"),
+        (F.col("id") * 1.5).alias("value"),
+    )
+    plan = _plan(asof_join(probes, quotes, on="user", value_cols=("value",)))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SinglePartition" not in plan
+    import re
+
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1
+
+
+def test_tfidf_broadcasts_corpus_size_and_combines(spark):
+    """tf-idf: the 1-row corpus count joins by broadcast, the term
+    aggregations keep map-side partial combine, and the per-doc top-k
+    window partitions by doc (no global sort)."""
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 7} w{i % 3} common") for i in range(100)],
+        "doc_id long, text string",
+    )
+    from sharetrace_giraph_spark.operators.text import tfidf_top_terms
+
+    plan = _plan(tfidf_top_terms(docs, k=2))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert plan.count("HashAggregate") >= 4  # two aggs, each partial+final
+    assert "partial_count" in plan
+    # the only SinglePartition exchange allowed is the 1-row corpus count;
+    # the top-k window must partition by doc (no global sort of the terms)
+    import re
+
+    m = re.search(r"\(\d+\) Window\n((?:.+\n){1,4})", plan)
+    assert m and "doc_id" in m.group(1)
