@@ -425,6 +425,50 @@ def q_graph_stats(spark, sf_dir):
     )
 
 
+def q_reply_edges(spark, sf_dir):
+    """The directed reply-edge derivation itself (adjacent-turn speaker
+    change per conversation → src→dst with multiplicity) — the DIRECTED
+    companion to contacts_summary."""
+    from sharetrace_giraph_spark.operators import edges as E
+
+    t = transcripts_from_events(spark, sf_dir)
+    return E.reply_edges(t).orderBy("src", "dst")
+
+
+def q_graph_reply_pagerank(spark, sf_dir):
+    """Weighted DIRECTED PageRank over the reply graph, with dangling-mass
+    redistribution live: the vertex universe is the FULL customer
+    dimension (not just active actors), so the ~90% inactive customers
+    are isolated vertices with no out-edges and the dangling mass is
+    large and nonzero by construction — the branch runs for real, not
+    vacuously. Transition probability ∝ reply count. 5 fixed supersteps;
+    the oracle unrolls rank and dangling-mass CTEs in lock-step."""
+    from sharetrace_giraph_spark.algorithms import pagerank
+    from sharetrace_giraph_spark.operators import edges as E
+
+    t = transcripts_from_events(spark, sf_dir)
+    re_ = E.reply_edges(t)
+    actors = _t(spark, sf_dir, "customer").select(
+        F.concat(F.lit("u"), F.col("c_custkey").cast("string")).alias("role")
+    )
+    verts = E.dense_ids(actors, "role")
+    vsrc = verts.select(F.col("role").alias("src"), F.col("vertex_id").alias("src_id"))
+    vdst = verts.select(F.col("role").alias("dst"), F.col("vertex_id").alias("dst_id"))
+    enc = (
+        re_.join(vsrc, "src").join(vdst, "dst")
+        .select(F.col("src_id").alias("src"), F.col("dst_id").alias("dst"),
+                F.col("n_replies").cast("double").alias("w"))
+    )
+    res = pagerank(spark, enc, verts, _ckpt(), run_id="qrp",
+                   tolerance=0.0, max_supersteps=5, checkpoint_every=2,
+                   weight_col="w", handle_dangling=True)
+    return (
+        res.state.join(verts, "vertex_id")
+        .select("role", F.round("rank", 9).alias("rank"))
+        .orderBy("role")
+    )
+
+
 def q_graph_risk_prop(spark, sf_dir):
     from sharetrace_giraph_spark.algorithms import final_scores, risk_propagation
 
@@ -1290,6 +1334,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_adamic_adar": q_graph_adamic_adar,
         "graph_stats": q_graph_stats,
         "graph_risk_prop": q_graph_risk_prop,
+        "reply_edges": q_reply_edges,
+        "graph_reply_pagerank": q_graph_reply_pagerank,
         # relational surface with DuckDB oracles
         "expiry_filter": q_expiry_filter,
         "substring_obfuscate": q_substring_obfuscate,
@@ -1721,6 +1767,81 @@ def _kcore_oracle(rounds: int = 30) -> str:
     """
 
 
+#: directed reply-edge derivation replayed in SQL: adjacent-turn speaker
+#: change per conversation → (src, dst, n_replies); rverts = ALL actors.
+#: No leading WITH — callers prepend.
+_REPLY_CTES = """
+    tr AS (
+        SELECT event_type || '-' ||
+                   CAST(CAST(floor(epoch(ts) / 86400) AS BIGINT) AS VARCHAR) AS conv_id,
+               'u' || CAST(user_id AS VARCHAR) AS role,
+               ts, event_id
+        FROM events
+    ), ordered AS (
+        SELECT conv_id, role, ts,
+               row_number() OVER (PARTITION BY conv_id ORDER BY ts, event_id) - 1
+                   AS turn_idx
+        FROM tr
+    ), rpl AS (
+        SELECT conv_id, role, ts, turn_idx,
+               lag(role) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx)
+                   AS prev_role
+        FROM ordered
+    ), re AS (
+        SELECT prev_role AS src, role AS dst,
+               CAST(count(*) AS BIGINT) AS n_replies
+        FROM rpl WHERE prev_role IS NOT NULL AND prev_role <> role
+        GROUP BY prev_role, role
+    ), rverts AS (
+        SELECT 'u' || CAST(c_custkey AS VARCHAR) AS role FROM customer
+    )
+"""
+
+
+def _reply_pagerank_oracle(supersteps: int = 5, damping: float = 0.85) -> str:
+    """Weighted directed PageRank with dangling-mass redistribution,
+    unrolled: rank CTEs rp0..rpK and dangling-mass scalars dm0..dmK in
+    lock-step — dm_{k-1} (sum of rank at vertices with no out-edge)
+    returns uniformly to all vertices at step k, matching the engine's
+    1-row broadcast dangling branch exactly. Weight sums are
+    integer-valued doubles, so wsum (and hence each transition
+    probability) is bit-identical on both sides."""
+    steps = []
+    for k in range(1, supersteps + 1):
+        steps.append(f"""
+    rp{k} AS (
+        SELECT v.role,
+               {1.0 - damping} / (SELECT n FROM nv)
+               + {damping} * coalesce(sum(r.pr_rank * e.n_replies / ws.wsum), 0.0)
+               + {damping} * (SELECT dm FROM dm{k - 1}) / (SELECT n FROM nv)
+                   AS pr_rank
+        FROM rverts v
+        LEFT JOIN re e ON e.dst = v.role
+        LEFT JOIN rp{k - 1} r ON r.role = e.src
+        LEFT JOIN wsum ws ON ws.v = e.src
+        GROUP BY v.role
+    ), dm{k} AS (
+        SELECT coalesce(sum(r.pr_rank), 0.0) AS dm
+        FROM rp{k} r LEFT JOIN wsum w2 ON w2.v = r.role
+        WHERE w2.v IS NULL
+    )""")
+    return f"""
+        WITH {_REPLY_CTES},
+        wsum AS (SELECT src AS v, CAST(sum(n_replies) AS DOUBLE) AS wsum
+                 FROM re GROUP BY src),
+        nv AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM rverts),
+        rp0 AS (SELECT role, 1.0 / (SELECT n FROM nv) AS pr_rank FROM rverts),
+        dm0 AS (
+            SELECT coalesce(sum(r.pr_rank), 0.0) AS dm
+            FROM rp0 r LEFT JOIN wsum w2 ON w2.v = r.role
+            WHERE w2.v IS NULL
+        ),
+        {",".join(steps)}
+        SELECT role, round(pr_rank, 9) AS rank
+        FROM rp{supersteps} ORDER BY role
+    """
+
+
 #: the engine's UNREACHED sentinel (1 << 62), for the SSSP oracle
 _SSSP_INF = 1 << 62
 
@@ -1950,6 +2071,11 @@ def oracle_sql() -> dict[str, str]:
         "graph_adamic_adar": _ADAMIC_ADAR_ORACLE,
         "graph_stats": _GRAPH_STATS_ORACLE,
         "graph_risk_prop": _risk_prop_oracle(),
+        "reply_edges": f"""
+            WITH {_REPLY_CTES}
+            SELECT src, dst, n_replies FROM re ORDER BY src, dst
+        """,
+        "graph_reply_pagerank": _reply_pagerank_oracle(),
         "dedup_minhash_lsh": _MINHASH_LSH_ORACLE,
         "dedup_near_clusters": _DEDUP_CLUSTERS_ORACLE,
         "sample_hash_split": """

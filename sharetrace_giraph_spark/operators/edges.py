@@ -320,3 +320,28 @@ def undirect(edges: DataFrame) -> DataFrame:
     return edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
+
+
+def reply_edges(transcripts: DataFrame) -> DataFrame:
+    """Directed reply/interaction edges: one edge ``prev_role → role`` per
+    adjacent turn pair of a conversation where the speaker changes,
+    aggregated to ``(src, dst, n_replies)``.
+
+    This is the DIRECTED companion to :func:`derive_contacts` (which is
+    symmetric by construction): information flows from the earlier turn's
+    speaker to the replier, so out-degree-less actors exist (users who
+    always speak last) and PageRank's dangling-mass branch is exercised.
+    Plan shape: one window per conv_id (bounded rows per key, no global
+    sort) + one hash agg on the pair — two shuffles total, linear at any
+    scale.
+    """
+    w = Window.partitionBy("conv_id").orderBy("ts", "turn_idx")
+    pairs = transcripts.select(
+        "conv_id", "ts", "turn_idx", "role",
+        F.lag("role").over(w).alias("prev_role"),
+    )
+    return (
+        pairs.where(F.col("prev_role").isNotNull() & (F.col("prev_role") != F.col("role")))
+        .groupBy(F.col("prev_role").alias("src"), F.col("role").alias("dst"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_replies"))
+    )

@@ -181,3 +181,64 @@ def test_tfidf_top_terms_hand_checked(spark):
     assert d3[1].tfidf == pytest.approx(2 * math.log(1.5), abs=1e-6)
     # rank is dense per doc starting at 1
     assert all([r.rank for r in by_doc[d]] == [1, 2] for d in by_doc)
+
+
+# ---------------------------------------------------------------------------
+# reply edges + dangling-mass PageRank
+# ---------------------------------------------------------------------------
+
+
+def test_reply_edges_hand_checked(spark):
+    """Adjacent-turn speaker changes become directed edges with
+    multiplicity; same-speaker runs and conversation boundaries don't."""
+    rows = [
+        # conv c1: a, b, b, a, c  → a→b, b→a, a→c
+        ("c1", 0, "a"), ("c1", 1, "b"), ("c1", 2, "b"), ("c1", 3, "a"), ("c1", 4, "c"),
+        # conv c2: c, a  → c→a  (no edge across the conv boundary)
+        ("c2", 0, "c"), ("c2", 1, "a"),
+        # conv c3: b alone → nothing
+        ("c3", 0, "b"),
+    ]
+    t = spark.createDataFrame(
+        [(c, i, r) for c, i, r in rows], "conv_id string, turn_idx int, role string"
+    ).select(
+        "conv_id", "turn_idx", "role",
+        F.timestamp_seconds(F.lit(1700000000) + F.col("turn_idx")).alias("ts"),
+    )
+    got = {(r.src, r.dst): r.n_replies for r in E.reply_edges(t).collect()}
+    assert got == {("a", "b"): 1, ("b", "a"): 1, ("a", "c"): 1, ("c", "a"): 1}
+
+
+def test_pagerank_dangling_mass_golden(spark, ckpt):
+    """Directed chain 0→1→2 plus an isolated vertex 3: vertices 2 and 3
+    have no out-edges, so the dangling branch carries real mass. Golden
+    vs the dict reference (which redistributes dangling uniformly), and
+    total mass stays 1."""
+    from sharetrace_giraph_spark.algorithms import pagerank
+
+    e = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    verts = spark.createDataFrame([(i,) for i in range(4)], "vertex_id long")
+    res = pagerank(spark, e, verts, ckpt, run_id="pr-dang",
+                   tolerance=1e-10, max_supersteps=200, handle_dangling=True)
+    assert res.converged
+    got = {r.vertex_id: r.rank for r in res.state.collect()}
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+    # inline directed fixed point (pagerank_py is undirected-only):
+    # r(v) = (1-d)/n + d*(in-contribs + dangling/n), dangling = r(2)+r(3)
+    d, n = 0.85, 4
+    r = {v: 1.0 / n for v in range(4)}
+    for _ in range(500):
+        dang = r[2] + r[3]
+        r = {
+            0: (1 - d) / n + d * dang / n,
+            1: (1 - d) / n + d * (r[0] + dang / n),
+            2: (1 - d) / n + d * (r[1] + dang / n),
+            3: (1 - d) / n + d * dang / n,
+        }
+    for v in r:
+        assert abs(got[v] - r[v]) < 1e-6, (v, got[v], r[v])
+    # ranks are distinct and ordered 2 > 1 > 0 == 3 (mass accumulates
+    # down the chain; the isolated vertex matches the chain head)
+    assert got[2] > got[1] > got[0]
+    assert abs(got[0] - got[3]) < 1e-9
