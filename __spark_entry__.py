@@ -1209,6 +1209,56 @@ def q_multimodal_resize(spark, sf_dir):
     return resize_media(synthesize_media(d), target_bytes=96).orderBy("doc_id")
 
 
+def q_window_rank_stats(spark, sf_dir):
+    """Ranking/distribution window-function surface in one query: per
+    user's event history (ordered by ts, event_id), the latest event's
+    rank statistics — row_number, dense_rank over rounded value,
+    percent_rank, cume_dist, plus lag/lead neighbors. Windows partition
+    by user (bounded rows per key, no global sort)."""
+    ev = _t(spark, sf_dir, "events")
+    wt = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wv = Window.partitionBy("user_id").orderBy(F.round("value", 2), "ts", "event_id")
+    ranked = ev.select(
+        "user_id",
+        "event_id",
+        F.row_number().over(wt).alias("seq"),
+        F.dense_rank().over(wv).alias("value_dense_rank"),
+        F.round(F.percent_rank().over(wv), 6).alias("value_pct_rank"),
+        F.round(F.cume_dist().over(wv), 6).alias("value_cume_dist"),
+        F.lag("event_id").over(wt).alias("prev_event_id"),
+        F.lead("event_id").over(wt).alias("next_event_id"),
+    )
+    # keep one deterministic row per user: the latest event
+    wlast = Window.partitionBy("user_id").orderBy(F.desc("seq"))
+    return (
+        ranked.withColumn("_rn", F.row_number().over(wlast))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+        .orderBy("user_id")
+    )
+
+
+def q_cube_agg(spark, sf_dir):
+    """CUBE over (returnflag, linestatus): all four grouping-set levels
+    in one pass — the full subtotal lattice the reference engine has no
+    spelling for (ROLLUP's sibling, SURVEY §2.4 note)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_price"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n",
+            "sum_price",
+        )
+        .orderBy("returnflag", "linestatus")
+    )
+
+
 def q_quantiles(spark, sf_dir):
     """Exact linear-interpolation quantiles (generic OLAP agg surface the
     reference lacks, like rollup): per event type, p50/p95 of value."""
@@ -1386,6 +1436,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_resize": q_multimodal_resize,
         "multimodal_stats": q_multimodal_stats,
         "quantiles": q_quantiles,
+        "window_rank_stats": q_window_rank_stats,
+        "cube_agg": q_cube_agg,
         # structured streaming (finite availableNow drains of the same
         # parquet inputs; results are batch-equivalent, hence oracle-able)
         "streaming_windowed": q_streaming_windowed,
@@ -2532,6 +2584,36 @@ def oracle_sql() -> dict[str, str]:
                    CAST(octet_length(encode(sub)) AS BIGINT) AS out_bytes,
                    md5(sub) AS out_md5
             FROM r ORDER BY doc_id
+        """,
+        "window_rank_stats": """
+            WITH ranked AS (
+                SELECT user_id, event_id,
+                       row_number() OVER wt AS seq,
+                       CAST(dense_rank() OVER wv AS INT) AS value_dense_rank,
+                       round(percent_rank() OVER wv, 6) AS value_pct_rank,
+                       round(cume_dist() OVER wv, 6) AS value_cume_dist,
+                       lag(event_id) OVER wt AS prev_event_id,
+                       lead(event_id) OVER wt AS next_event_id
+                FROM events
+                WINDOW wt AS (PARTITION BY user_id ORDER BY ts, event_id),
+                       wv AS (PARTITION BY user_id
+                              ORDER BY round(value, 2), ts, event_id)
+            )
+            SELECT user_id, event_id, CAST(seq AS INT) AS seq,
+                   value_dense_rank, value_pct_rank, value_cume_dist,
+                   prev_event_id, next_event_id
+            FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                      ORDER BY seq DESC) AS _rn FROM ranked)
+            WHERE _rn = 1 ORDER BY user_id
+        """,
+        "cube_agg": """
+            SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+                   coalesce(l_linestatus, 'ALL') AS linestatus,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(sum(l_extendedprice), 4) AS sum_price
+            FROM lineitem
+            GROUP BY CUBE (l_returnflag, l_linestatus)
+            ORDER BY returnflag, linestatus
         """,
         "quantiles": """
             SELECT event_type,
