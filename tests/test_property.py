@@ -187,3 +187,74 @@ def test_clustering_and_jaccard_exact_on_random_graphs(spark, raw_edges):
         union = len(adj[u] | adj[v])
         assert nc == inter, (u, v)
         assert abs(jac - inter / union) < 1e-12, (u, v)
+
+
+# directed weighted edge: small vertex space forces parallel edges /
+# alternative routes; weights 1..9 make detour-vs-direct ties plausible
+wedge_strategy = st.tuples(
+    st.integers(0, 7), st.integers(0, 7), st.integers(1, 9)
+).filter(lambda e: e[0] != e[1])
+
+
+@given(st.sets(wedge_strategy, min_size=1, max_size=25), st.integers(1, 3))
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture])
+def test_sssp_exact_on_random_weighted_graphs(spark, tmp_path_factory, raw, n_src):
+    """Frontier min-plus relaxation vs Dijkstra on random directed
+    weighted graphs — exercises parallel (u,v,w1)/(u,v,w2) edges (min
+    kept), multi-source merging, and unreachable vertices."""
+    from sharetrace_giraph_spark.algorithms import UNREACHED, shortest_paths
+    from .reference_impl import sssp_py
+
+    wedges = sorted(raw)
+    verts_py = sorted({v for u, v, _ in wedges for v in (u, v)})
+    e = spark.createDataFrame(wedges, "src long, dst long, w long")
+    verts = spark.createDataFrame([(v,) for v in verts_py], "vertex_id long")
+    srcs = verts_py[:n_src]
+    seed = spark.createDataFrame([(s,) for s in srcs], "vertex_id long")
+
+    ckpt = str(tmp_path_factory.mktemp("sssp-prop"))
+    res = shortest_paths(spark, e, verts, seed, ckpt, run_id="ps",
+                         max_supersteps=30, resume=False)
+    got = {r.vertex_id: r.dist for r in res.state.collect() if r.dist < UNREACHED}
+    assert got == sssp_py(wedges, verts_py, srcs)
+    assert res.converged
+
+
+quote_strategy = st.tuples(st.integers(0, 2), st.integers(0, 20), st.integers(0, 99))
+probe_strategy = st.tuples(st.integers(0, 3), st.integers(0, 20))
+
+
+@given(st.lists(quote_strategy, min_size=0, max_size=25),
+       st.lists(probe_strategy, min_size=1, max_size=25))
+@settings(**_SETTINGS)
+def test_asof_join_matches_python_oracle(spark, quotes, probes):
+    """union+window as-of join vs a brute-force oracle — random data makes
+    duplicate (key, ts) quotes (max-struct dedup), equal-ts probe/quote
+    collisions (inclusive), and quoteless keys (probe key space is a
+    strict superset of the quote key space) all likely."""
+    from sharetrace_giraph_spark.operators.asof import asof_join
+
+    q = spark.createDataFrame(
+        [(f"k{k}", t, v) for k, t, v in quotes] or [("__none__", 0, 0)],
+        "user string, ts long, value long",
+    )
+    if not quotes:
+        q = q.where(F.col("user") != "__none__")
+    p = spark.createDataFrame(
+        [(i, f"k{k}", t) for i, (k, t) in enumerate(probes)],
+        "pid long, user string, ts long",
+    )
+
+    best: dict = {}
+    for k, t, v in quotes:
+        key = (f"k{k}", t)
+        best[key] = max(best.get(key, v), v)  # max over the value struct
+    exp = {}
+    for i, (k, t) in enumerate(probes):
+        cand = [(qt, v) for (qk, qt), v in best.items() if qk == f"k{k}" and qt <= t]
+        exp[i] = max(cand) if cand else (None, None)
+
+    got = {r.pid: (r.asof_ts, r.asof_value)
+           for r in asof_join(p, q, on="user", value_cols=("value",)).collect()}
+    assert got == exp
