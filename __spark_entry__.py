@@ -1274,6 +1274,61 @@ def q_quantiles(spark, sf_dir):
     )
 
 
+def q_text_repetition(spark, sf_dir):
+    """Within-doc repetition signals (dup-token ratio, top-token share) —
+    the Gopher-style repetition quality filter."""
+    from sharetrace_giraph_spark.operators.text import repetition_stats
+
+    return repetition_stats(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def q_pii_redact(spark, sf_dir):
+    """PII redaction (email/phone/IPv4 → typed tokens + per-category
+    counts) over a deterministic contact-note derived from `customer` —
+    the driver corpus contains no PII, so the note synthesizes all three
+    categories from key arithmetic; the oracle replays the derivation."""
+    from sharetrace_giraph_spark.operators.scrub import pii_redact
+
+    c = _t(spark, sf_dir, "customer")
+    note = F.concat(
+        F.col("c_name"), F.lit(" reachable at "),
+        F.lower(F.replace(F.col("c_name"), F.lit("#"), F.lit(""))),
+        F.lit("@example.com or 555-"),
+        F.lpad((F.col("c_custkey") % 1000).cast("string"), 3, "0"), F.lit("-"),
+        F.lpad((F.col("c_custkey") % 10000).cast("string"), 4, "0"),
+        F.lit(" last seen from 10.0."), F.col("c_nationkey").cast("string"),
+        F.lit("."), (F.col("c_custkey") % 256).cast("string"),
+    )
+    notes = c.select(F.col("c_custkey").alias("doc_id"), note.alias("text"))
+    return pii_redact(notes).orderBy("doc_id")
+
+
+def q_contamination_ngram(spark, sf_dir):
+    """Benchmark-contamination check: documents sharing any word 3-gram
+    with the benchmark slice (doc_id % 20 == 0), with the count of
+    distinct contaminated grams. Corpus explodes; benchmark grams
+    broadcast."""
+    from sharetrace_giraph_spark.operators.scrub import contamination
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") % 20 == 0)
+    return contamination(d, bench).orderBy("doc_id")
+
+
+def q_graph_assortativity(spark, sf_dir):
+    """Newman degree assortativity of the undirected contact graph — the
+    hub-mixing statistic behind the salting-threshold choice
+    (operators/skew.py)."""
+    from sharetrace_giraph_spark.operators import edges as E
+    from sharetrace_giraph_spark.operators.skew import degree_assortativity
+
+    t = transcripts_from_events(spark, sf_dir)
+    contacts = E.derive_contacts(t, duration_threshold_s=0, session_gap_s=6 * 3600,
+                                 pair_strategy="join")  # see _graph()
+    und = E.undirect(contacts.select("src", "dst"))
+    return degree_assortativity(und)
+
+
 def q_multimodal_stats(spark, sf_dir):
     """Per-kind media stats (pure relational over the media table)."""
     from sharetrace_giraph_spark.operators.multimodal import media_stats, synthesize_media
@@ -1438,6 +1493,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantiles": q_quantiles,
         "window_rank_stats": q_window_rank_stats,
         "cube_agg": q_cube_agg,
+        "text_repetition": q_text_repetition,
+        "pii_redact": q_pii_redact,
+        "contamination_ngram": q_contamination_ngram,
+        "graph_assortativity": q_graph_assortativity,
         # structured streaming (finite availableNow drains of the same
         # parquet inputs; results are batch-equivalent, hence oracle-able)
         "streaming_windowed": q_streaming_windowed,
@@ -2661,5 +2720,114 @@ def oracle_sql() -> dict[str, str]:
                         ORDER BY ts, turn_idx ROWS UNBOUNDED PRECEDING)
                         AS BIGINT) AS session_id
             FROM g
+        """,
+        "text_repetition": """
+            WITH tk AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(len(toks) AS INT) AS n_tokens,
+                   CAST(len(list_distinct(toks)) AS INT) AS n_distinct,
+                   round(CASE WHEN len(toks) > 0
+                         THEN (len(toks) - len(list_distinct(toks))) / CAST(len(toks) AS DOUBLE)
+                         ELSE 0.0 END, 6) AS dup_ratio,
+                   round(CASE WHEN len(toks) > 0
+                         THEN CAST(list_max(list_transform(list_distinct(toks),
+                                  x -> len(list_filter(toks, y -> y = x)))) AS DOUBLE)
+                              / len(toks)
+                         ELSE 0.0 END, 6) AS top_token_share
+            FROM tk ORDER BY doc_id
+        """,
+        # replays q_pii_redact's note derivation, then the ordered
+        # email→phone→ip redact/count passes (counts taken on the text as
+        # each pass sees it, exactly like operators/scrub.pii_redact)
+        "pii_redact": """
+            WITH notes AS (
+                SELECT c_custkey AS doc_id,
+                       c_name || ' reachable at ' ||
+                       lower(replace(c_name, '#', '')) || '@example.com or 555-' ||
+                       lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0') || '-' ||
+                       lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') ||
+                       ' last seen from 10.0.' || CAST(c_nationkey AS VARCHAR) ||
+                       '.' || CAST(c_custkey % 256 AS VARCHAR) AS text
+                FROM customer
+            ), s1 AS (
+                SELECT doc_id,
+                       CAST(len(regexp_extract_all(text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT) AS n_email,
+                       regexp_replace(text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                           '<EMAIL>', 'g') AS t
+                FROM notes
+            ), s2 AS (
+                SELECT doc_id, n_email,
+                       CAST(len(regexp_extract_all(t,
+                           '\\b\\d{3}-\\d{3}-\\d{4}\\b')) AS INT) AS n_phone,
+                       regexp_replace(t, '\\b\\d{3}-\\d{3}-\\d{4}\\b',
+                           '<PHONE>', 'g') AS t
+                FROM s1
+            ), s3 AS (
+                SELECT doc_id, n_email, n_phone,
+                       CAST(len(regexp_extract_all(t,
+                           '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS INT) AS n_ip,
+                       regexp_replace(t,
+                           '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+                           '<IP>', 'g') AS t
+                FROM s2
+            )
+            SELECT doc_id, t AS redacted, n_email, n_phone, n_ip
+            FROM s3 ORDER BY doc_id
+        """,
+        "contamination_ngram": """
+            WITH tk AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+                FROM documents
+            ), g AS (
+                SELECT doc_id,
+                       CASE WHEN len(toks) >= 3 THEN
+                           list_distinct(list_transform(
+                               generate_series(1, len(toks) - 2),
+                               i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
+                       ELSE [] END AS grams
+                FROM tk
+            ), bg AS (
+                SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 20 = 0
+            ), dg AS (
+                SELECT doc_id, unnest(grams) AS gram FROM g
+            )
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matched
+            FROM dg JOIN bg USING (gram)
+            GROUP BY doc_id ORDER BY doc_id
+        """,
+        "graph_assortativity": f"""
+            WITH {_EDGE_CTES}, deg AS (
+                SELECT src AS v, CAST(count(*) AS BIGINT) AS d
+                FROM edges_u GROUP BY src
+            ), p AS (
+                SELECT dx.d AS dx, dy.d AS dy
+                FROM edges_u e
+                JOIN deg dx ON dx.v = e.src
+                JOIN deg dy ON dy.v = e.dst
+            ), a AS (
+                SELECT CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(dx) AS BIGINT) AS sx,
+                       CAST(sum(dy) AS BIGINT) AS sy,
+                       CAST(sum(dx * dy) AS BIGINT) AS sxy,
+                       CAST(sum(dx * dx) AS BIGINT) AS sxx,
+                       CAST(sum(dy * dy) AS BIGINT) AS syy
+                FROM p
+            ), nv AS (SELECT CAST(count(*) AS BIGINT) AS n_vertices FROM deg)
+            SELECT n AS n_edges, n_vertices,
+                   round(CAST(sx AS DOUBLE) / n, 6) AS avg_deg,
+                   round(CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) > 0
+                               AND CAST(n * syy - sy * sy AS DOUBLE) > 0
+                         THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                              / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                                     * CAST(n * syy - sy * sy AS DOUBLE))
+                         END, 6) AS assortativity
+            FROM a, nv
         """,
     }

@@ -104,3 +104,44 @@ def salted_min(
     """Two-level MIN — see :func:`salted_agg` (min is decomposable:
     min(min(parts)) == min(all), so salting never changes the result)."""
     return salted_agg(messages, key, value, hubs, "min", salts, salt_source)
+
+
+def degree_assortativity(edges: DataFrame) -> DataFrame:
+    """One-row degree-mixing statistic over a DIRECTED edge list (pass the
+    both-ways union for undirected semantics): Pearson correlation of
+    (deg(src), deg(dst)) across edges — Newman's assortativity
+    coefficient, the standard "do hubs link to hubs?" skew diagnostic
+    that informs the salting threshold.
+
+    Two degree joins + one global aggregate. All moment sums are exact
+    BIGINT arithmetic over integer degrees; the only float ops are the
+    final correlation expression, written in a fixed order so an oracle
+    replaying it gets bit-identical doubles. Returns
+    (n_edges, n_vertices, avg_deg, assortativity); assortativity is null
+    when degrees are constant (zero variance).
+    """
+    deg = degree_census(edges, "out")
+    x = deg.select(F.col("vertex_id").alias("src"), F.col("degree").alias("dx"))
+    y = deg.select(F.col("vertex_id").alias("dy_id"), F.col("degree").alias("dy"))
+    pairs = edges.join(x, "src").join(y, edges.dst == F.col("dy_id"))
+    agg = pairs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dx").alias("sx"),
+        F.sum("dy").alias("sy"),
+        F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+        F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    cov = (n * F.col("sxy") - sx * sy).cast("double")
+    vx = (n * F.col("sxx") - sx * sx).cast("double")
+    vy = (n * F.col("syy") - sy * sy).cast("double")
+    nv = deg.agg(F.count(F.lit(1)).cast("long").alias("n_vertices"))
+    return agg.crossJoin(F.broadcast(nv)).select(
+        n.cast("long").alias("n_edges"),
+        "n_vertices",
+        F.round(sx.cast("double") / n, 6).alias("avg_deg"),
+        F.round(
+            F.when((vx > 0) & (vy > 0), cov / F.sqrt(vx * vy)), 6
+        ).alias("assortativity"),
+    )

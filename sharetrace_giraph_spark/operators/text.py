@@ -117,6 +117,27 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Within-document repetition signals (the Gopher-style rep filters):
+    duplicate-token ratio ``1 - distinct/total`` and the share of the
+    most frequent token. All array expressions — per-row cost is
+    O(tokens · distinct), bounded by document length, with no shuffle and
+    no Python."""
+    t = tokens(text_col)
+    n = F.size(t)
+    nd = F.size(F.array_distinct(t))
+    top = F.array_max(
+        F.transform(F.array_distinct(t), lambda x: F.size(F.filter(t, lambda y: y == x)))
+    )
+    return df.select(
+        id_col,
+        n.alias("n_tokens"),
+        nd.alias("n_distinct"),
+        F.round(F.when(n > 0, (n - nd) / n).otherwise(F.lit(0.0)), 6).alias("dup_ratio"),
+        F.round(F.when(n > 0, top / n).otherwise(F.lit(0.0)), 6).alias("top_token_share"),
+    )
+
+
 def tfidf_top_terms(
     df: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
