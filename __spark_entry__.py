@@ -2821,7 +2821,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM p
             ), nv AS (SELECT CAST(count(*) AS BIGINT) AS n_vertices FROM deg)
             SELECT n AS n_edges, n_vertices,
-                   round(CAST(sx AS DOUBLE) / n, 6) AS avg_deg,
+                   round(CAST(n AS DOUBLE) / n_vertices, 6) AS avg_deg,
                    round(CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) > 0
                                AND CAST(n * syy - sy * sy AS DOUBLE) > 0
                          THEN CAST(n * sxy - sx * sy AS DOUBLE)

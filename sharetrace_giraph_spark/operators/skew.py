@@ -140,7 +140,7 @@ def degree_assortativity(edges: DataFrame) -> DataFrame:
     return agg.crossJoin(F.broadcast(nv)).select(
         n.cast("long").alias("n_edges"),
         "n_vertices",
-        F.round(sx.cast("double") / n, 6).alias("avg_deg"),
+        F.round(n.cast("double") / F.col("n_vertices"), 6).alias("avg_deg"),
         F.round(
             F.when((vx > 0) & (vy > 0), cov / F.sqrt(vx * vy)), 6
         ).alias("assortativity"),
