@@ -221,3 +221,40 @@ def test_tfidf_broadcasts_corpus_size_and_combines(spark):
 
     m = re.search(r"\(\d+\) Window\n((?:.+\n){1,4})", plan)
     assert m and "doc_id" in m.group(1)
+
+
+def test_pii_redact_and_repetition_are_pure_projections(spark):
+    """The scrub/repetition hot paths are single-pass column expressions:
+    no shuffle, no Python in the row path."""
+    from sharetrace_giraph_spark.operators.scrub import pii_redact
+    from sharetrace_giraph_spark.operators.text import repetition_stats
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 5} mail x@y.io t {i}") for i in range(50)],
+        "doc_id long, text string",
+    )
+    for op in (pii_redact, repetition_stats):
+        plan = _plan(op(docs))
+        assert "Exchange" not in plan, op.__name__
+        # no Python execution nodes (the createDataFrame scan's RDD label
+        # mentions Python; that's the test harness, not the operator)
+        for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+            assert node not in plan, (op.__name__, node)
+
+
+def test_contamination_broadcasts_benchmark_grams(spark):
+    """The corpus side must stream through a broadcast hash join against
+    the (small) benchmark gram set — never a shuffled/sort-merge join of
+    the exploded corpus — and the per-doc count keeps partial combine."""
+    from sharetrace_giraph_spark.operators.scrub import contamination
+
+    docs = spark.createDataFrame(
+        [(i, "a b c d e f g") for i in range(100)], "doc_id long, text string"
+    )
+    bench = docs.where(F.col("doc_id") < 5)
+    plan = _plan(contamination(docs, bench))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "partial_count" in plan
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan, node
