@@ -1417,6 +1417,41 @@ def q_streaming_sessionize(spark, sf_dir):
     )
 
 
+def q_streaming_dedup(spark, sf_dir):
+    """Stateful streaming dedup (``dropDuplicates`` state store): the
+    distinct md5(text) set of the documents stream. First-seen emission
+    order varies with batch/partition order, so the deterministic result
+    is the key SET — bit-equal to batch SELECT DISTINCT on a finite
+    drain."""
+    from sharetrace_giraph_spark.streaming.windowed import stream_distinct
+
+    schema = _t(spark, sf_dir, "documents").schema
+    stream = spark.readStream.schema(schema).parquet(_stream_path(sf_dir, "documents"))
+    hashed = stream.select(F.md5("text").alias("text_hash"))
+    res = _drain_stream(stream_distinct(hashed, ["text_hash"]), "append")
+    return res.orderBy("text_hash")
+
+
+def q_streaming_enrich(spark, sf_dir):
+    """Stream-static broadcast enrichment: the events stream decorated
+    with the customer dimension (market segment) — row-level, no
+    aggregation, so the drained append output is exactly the batch
+    left join."""
+    from sharetrace_giraph_spark.streaming.windowed import enrich_with_dim
+
+    schema = _t(spark, sf_dir, "events").schema
+    stream = spark.readStream.schema(schema).parquet(_stream_path(sf_dir, "events"))
+    dim = _t(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("segment")
+    )
+    res = _drain_stream(
+        enrich_with_dim(stream, dim, stream.user_id == dim.c_custkey), "append"
+    )
+    return res.select(
+        "event_id", "user_id", "segment", F.round("value", 6).alias("value")
+    ).orderBy("event_id")
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -1501,6 +1536,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # parquet inputs; results are batch-equivalent, hence oracle-able)
         "streaming_windowed": q_streaming_windowed,
         "streaming_sessionize": q_streaming_sessionize,
+        "streaming_dedup": q_streaming_dedup,
+        "streaming_enrich": q_streaming_enrich,
     }
 
 
@@ -2801,6 +2838,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matched
             FROM dg JOIN bg USING (gram)
             GROUP BY doc_id ORDER BY doc_id
+        """,
+        # finite availableNow drain of the stateful dedup ≡ batch DISTINCT
+        "streaming_dedup": """
+            SELECT DISTINCT md5(text) AS text_hash
+            FROM documents ORDER BY text_hash
+        """,
+        # row-level stream-static join drain ≡ the batch left join
+        "streaming_enrich": """
+            SELECT event_id, user_id, c_mktsegment AS segment,
+                   round(value, 6) AS value
+            FROM events LEFT JOIN customer ON c_custkey = user_id
+            ORDER BY event_id
         """,
         "graph_assortativity": f"""
             WITH {_EDGE_CTES}, deg AS (

@@ -146,3 +146,38 @@ def read_transcript_stream(spark, transcripts_dir: str, max_files_per_trigger: i
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     return reader.parquet(transcripts_dir)
+
+
+def stream_distinct(
+    stream: DataFrame,
+    cols: list[str],
+    ts_col: str | None = None,
+    watermark_delay: str | None = None,
+) -> DataFrame:
+    """Stateful streaming dedup: emit each distinct key once, the first
+    time it is seen, across all micro-batches (``dropDuplicates`` keeps a
+    state-store entry per key).
+
+    Unbounded streams MUST pass (``ts_col``, ``watermark_delay``): keys
+    older than the watermark are evicted via
+    ``dropDuplicatesWithinWatermark``, bounding state to the delay
+    horizon. Without a watermark (finite drains / small key domains) the
+    state is one entry per distinct key — the exact-dedup analog of
+    operators/dedup.exact_duplicates, streaming-side.
+    """
+    if watermark_delay is not None:
+        if ts_col is None:
+            raise ValueError("watermark_delay requires ts_col")
+        return stream.withWatermark(ts_col, watermark_delay).dropDuplicatesWithinWatermark(cols)
+    return stream.dropDuplicates(cols)
+
+
+def enrich_with_dim(stream: DataFrame, dim: DataFrame, cond, how: str = "left") -> DataFrame:
+    """Stream-static enrichment: join each micro-batch against a (small)
+    static dimension with an explicit broadcast hint — the standard
+    "decorate facts with latest dimension state" pattern. The static side
+    is re-read per micro-batch by Structured Streaming, so a warehouse-
+    backed dimension picks up slowly-changing updates between batches;
+    for per-row time-travel semantics use operators/asof.asof_join in
+    the batch layer instead."""
+    return stream.join(F.broadcast(dim), cond, how)

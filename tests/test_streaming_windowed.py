@@ -118,3 +118,52 @@ def test_windowed_counts_emit_at_watermark_boundary(spark, tmp_path):
         k for k, _ in batch.items() if k[0].timestamp() + 3600 <= wm - 3600
     }
     assert interior <= set(emitted)
+
+
+def test_stream_distinct_state_carries_across_drains(spark, tmp_path):
+    """Keys seen in drain 1 must NOT re-emit in drain 2 (the dedup state
+    store persists via the checkpoint), and the union of both drains is
+    exactly the batch DISTINCT."""
+    d = tmp_path / "dedup-in"
+    d.mkdir()
+    ckpt = str(tmp_path / "ckpt-dedup")
+
+    def land(name, words):
+        f = str(tmp_path / f"{name}-tmp.parquet")
+        spark.createDataFrame([(w,) for w in words], "word string") \
+            .coalesce(1).write.parquet(f)
+        _land(spark, f, d, name)
+
+    def drain():
+        rows: list = []
+        stream = spark.readStream.schema("word string").parquet(str(d))
+        _drain(spark, W.stream_distinct(stream, ["word"]), ckpt, rows)
+        return sorted(r.word for r in rows)
+
+    land("c1", ["a", "b", "a", "c"])
+    first = drain()
+    assert first == ["a", "b", "c"]
+    land("c2", ["b", "c", "d", "d", "e"])
+    second = drain()
+    assert second == ["d", "e"]  # a/b/c suppressed by carried state
+
+
+def test_enrich_with_dim_broadcasts_and_matches_batch(spark, tmp_path):
+    """Stream-static enrichment drains to exactly the batch join result."""
+    d = tmp_path / "enrich-in"
+    d.mkdir()
+    f = str(tmp_path / "facts-tmp.parquet")
+    spark.createDataFrame(
+        [(i, i % 3) for i in range(20)], "fact_id long, dim_id long"
+    ).coalesce(1).write.parquet(f)
+    _land(spark, f, d, "facts")
+    dim = spark.createDataFrame(
+        [(0, "x"), (1, "y")], "dim_id long, label string"
+    )
+    rows: list = []
+    stream = spark.readStream.schema("fact_id long, dim_id long").parquet(str(d))
+    _drain(spark, W.enrich_with_dim(stream, dim, "dim_id"),
+           str(tmp_path / "ckpt-enrich"), rows)
+    got = sorted((r.fact_id, r.label) for r in rows)
+    exp = sorted((i, {0: "x", 1: "y"}.get(i % 3)) for i in range(20))
+    assert got == exp
