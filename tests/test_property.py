@@ -258,3 +258,85 @@ def test_asof_join_matches_python_oracle(spark, quotes, probes):
     got = {r.pid: (r.asof_ts, r.asof_value)
            for r in asof_join(p, q, on="user", value_cols=("value",)).collect()}
     assert got == exp
+
+
+# unordered contact pair over 6 actors + 1-3 occurrence slots
+_pair_st = st.tuples(st.integers(0, 5), st.integers(0, 5)).filter(lambda p: p[0] != p[1])
+_occ_st = st.tuples(st.integers(0, 20), st.integers(1, 4))  # (half-day slot, dur units)
+_DAY0 = 18000 * 86400
+
+
+@given(
+    st.dictionaries(_pair_st, st.lists(_occ_st, min_size=1, max_size=3),
+                    min_size=1, max_size=8),
+    st.integers(0, 1 << 16),
+)
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture])
+def test_risk_propagation_exact_on_random_graphs(spark, tmp_path_factory, raw, salt):
+    """The flagship BP loop vs the dict oracle on random contact graphs
+    and score histories — random cutoffs/histories explore the F3
+    strict-recency boundary (score time == cutoff), F5 echo suppression
+    on multi-edge actors, and natural-vs-output comparator divergence
+    beyond what the fixed fixtures cover. Values asserted bit-equal
+    (identical multiplication paths)."""
+    import pyspark.sql.functions as F
+
+    from sharetrace_giraph_spark.algorithms import final_scores, risk_propagation
+    from .reference_impl import risk_prop_py
+
+    contacts_py: dict = {}
+    for (a, b), occs in raw.items():
+        key = (f"a{min(a, b)}", f"a{max(a, b)}")
+        cur = contacts_py.setdefault(key, set())
+        cur.update((_DAY0 + slot * 43200, dur * 60000) for slot, dur in occs)
+    contacts_py = {k: sorted(v) for k, v in contacts_py.items()}
+
+    actors = sorted({a for pair in contacts_py for a in pair})
+    # 1-2 scores per actor on a 6h grid (== and < vs the 12h cutoffs both
+    # reachable), values on the 0.01 grid
+    scores_py = {
+        a: [
+            (
+                _DAY0 + ((salt + i * 7 + idx * 13) % 44) * 21600,
+                round(((salt * 31 + i * 17 + idx * 7) % 100) / 100.0, 2),
+            )
+            for i in range(1 + (salt + idx) % 2)
+        ]
+        for idx, a in enumerate(actors)
+    }
+
+    contacts = spark.createDataFrame(
+        [(s, d, [(t, m) for t, m in occs]) for (s, d), occs in contacts_py.items()],
+        "src string, dst string, occ array<struct<s: long, d: long>>",
+    ).select(
+        "src", "dst",
+        F.transform(
+            "occ",
+            lambda o: F.struct(
+                F.timestamp_seconds(o["s"]).alias("time"),
+                o["d"].alias("duration_ms"),
+            ),
+        ).alias("occurrences"),
+    )
+    scores = spark.createDataFrame(
+        [(a, t, v) for a, hist in scores_py.items() for t, v in hist],
+        "id string, update_time long, value double",
+    ).withColumn("update_time", F.timestamp_seconds("update_time"))
+
+    ckpt = str(tmp_path_factory.mktemp("rp-prop"))
+    res = risk_propagation(spark, contacts, scores, ckpt, run_id="pr",
+                           transmission_rate=0.75, resume=False)
+    exp_state, exp_out = risk_prop_py(contacts_py, scores_py, transmission_rate=0.75)
+
+    got_state = {
+        r.vertex_id: {(int(s.update_time.timestamp()), s.value, s.origin_id)
+                      for s in r.scores}
+        for r in res.state.collect()
+    }
+    assert got_state == exp_state
+    got_out = {
+        r.vertex_id: (r.value, int(r.update_time.timestamp()))
+        for r in final_scores(res.state).collect()
+    }
+    assert got_out == exp_out
