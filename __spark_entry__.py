@@ -210,6 +210,27 @@ def q_graph_kcore(spark, sf_dir):
     )
 
 
+def q_graph_ktruss(spark, sf_dir):
+    """k-truss membership flag per contact edge with k = ceil(0.75·V) —
+    chosen so the peel cascade is non-trivial (at sf0.01: 605 of 10,611
+    edges peel over 5 rounds) rather than all-survive or all-peel. The
+    engine peels to fixed point (or the 30-superstep cap); the oracle
+    unrolls exactly 30 rounds (idempotent past the fixed point, the
+    _kcore_oracle protocol)."""
+    import math
+
+    from sharetrace_giraph_spark.algorithms import k_truss
+
+    contacts, verts, enc = _graph(spark, sf_dir)
+    k = math.ceil(0.75 * verts.count())
+    res = k_truss(spark, contacts.select("src", "dst"), k, _ckpt(), run_id="qkt",
+                  max_supersteps=30, checkpoint_every=2)
+    return (
+        res.state.select("src", "dst", F.col("alive").cast("int").alias("in_truss"))
+        .orderBy("src", "dst")
+    )
+
+
 def q_graph_lpa(spark, sf_dir):
     """Labels reported in ROLE space (see q_graph_cc): the deterministic
     (count desc, label asc) tie-break is order-isomorphic between encoded
@@ -1468,6 +1489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_bfs": q_graph_bfs,
         "graph_sssp": q_graph_sssp,
         "graph_kcore": q_graph_kcore,
+        "graph_ktruss": q_graph_ktruss,
         "graph_triangles": q_graph_triangles,
         "graph_clustering": q_graph_clustering,
         "graph_edge_jaccard": q_graph_edge_jaccard,
@@ -1915,6 +1937,49 @@ def _kcore_oracle(rounds: int = 30) -> str:
     """
 
 
+def _ktruss_oracle(rounds: int = 30) -> str:
+    """Edge peeling unrolled to CTEs t0..tN, N = the engine's
+    max_supersteps (30): each round enumerates the triangles of the
+    surviving edge set (a<b<c three-way self-join — orientation-free, so
+    it needn't mirror the engine's degree-ordered wedge internals) and
+    keeps edges with support >= k-2. Rounds past the fixed point are
+    idempotent; if it is NOT reached in 30, both sides stop after exactly
+    30 synchronous peels. k = ceil(0.75 * V), matching q_graph_ktruss."""
+    steps = []
+    for r in range(1, rounds + 1):
+        steps.append(f"""
+    tri{r} AS MATERIALIZED (
+        SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+        FROM t{r - 1} e1
+        JOIN t{r - 1} e2 ON e2.src = e1.src AND e2.dst > e1.dst
+        JOIN t{r - 1} e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+    ),
+    sup{r} AS MATERIALIZED (
+        SELECT s, d, count(*) AS sup FROM (
+            SELECT a AS s, b AS d FROM tri{r}
+            UNION ALL SELECT a AS s, c AS d FROM tri{r}
+            UNION ALL SELECT b AS s, c AS d FROM tri{r}
+        ) GROUP BY s, d
+    ),
+    t{r} AS MATERIALIZED (
+        SELECT e.src, e.dst FROM t{r - 1} e
+        JOIN sup{r} s ON s.s = e.src AND s.d = e.dst
+        WHERE s.sup >= (SELECT k FROM kk) - 2
+    )""")
+    return f"""
+        WITH {_EDGE_CTES},
+        kk AS MATERIALIZED (
+            SELECT CAST(ceil(0.75 * count(*)) AS BIGINT) AS k FROM verts),
+        t0 AS MATERIALIZED (SELECT src, dst FROM edges_c),
+        {",".join(steps)}
+        SELECT e.src, e.dst,
+               CASE WHEN t.src IS NOT NULL THEN 1 ELSE 0 END AS in_truss
+        FROM edges_c e LEFT JOIN t{rounds} t
+          ON t.src = e.src AND t.dst = e.dst
+        ORDER BY e.src, e.dst
+    """
+
+
 #: directed reply-edge derivation replayed in SQL: adjacent-turn speaker
 #: change per conversation → (src, dst, n_replies); rverts = ALL actors.
 #: No leading WITH — callers prepend.
@@ -2213,6 +2278,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_bfs": _BFS_ORACLE,
         "graph_sssp": _sssp_oracle(),
         "graph_kcore": _kcore_oracle(),
+        "graph_ktruss": _ktruss_oracle(),
         "graph_triangles": _TRIANGLES_ORACLE,
         "graph_clustering": _CLUSTERING_ORACLE,
         "graph_edge_jaccard": _EDGE_JACCARD_ORACLE,

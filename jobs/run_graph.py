@@ -48,9 +48,10 @@ def main() -> None:
         required=True,
         choices=["pagerank", "cc", "lpa", "triangles", "risk_prop",
                  "bfs", "sssp", "clustering", "edge_jaccard", "adamic_adar",
-                 "kcore"],
+                 "kcore", "ktruss"],
     )
-    ap.add_argument("--k", type=int, default=3, help="kcore only: the core order k")
+    ap.add_argument("--k", type=int, default=3,
+                    help="kcore/ktruss only: the core/truss order k")
     ap.add_argument("--cc-method", default="frontier", choices=["frontier", "doubling"],
                     help="cc only: frontier min-label (O(diameter) supersteps) or "
                     "pointer-doubling (O(log V), high-diameter graphs)")
@@ -224,6 +225,27 @@ def main() -> None:
             salt_threshold=args.salt_threshold,
         )
         out = res.state.join(verts, "vertex_id").select("role", "alive")
+    elif args.algorithm == "ktruss":
+        import pyspark.sql.functions as F
+
+        from sharetrace_giraph_spark.algorithms import k_truss
+
+        # k_truss wants canonical undirected edges (src < dst, one row per
+        # pair); enc is canonical in role space — re-canonicalize in id
+        # space so a non-order-preserving encoding can't violate that.
+        canon = enc.select(
+            F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+        ).distinct()
+        res = k_truss(
+            spark, canon, args.k, args.checkpoint_dir,
+            run_id=args.run_id, max_supersteps=args.max_supersteps, resume=resume,
+        )
+        vsrc = verts.select(F.col("vertex_id").alias("src"), F.col("role").alias("src_role"))
+        vdst = verts.select(F.col("vertex_id").alias("dst"), F.col("role").alias("dst_role"))
+        out = (
+            res.state.join(vsrc, "src").join(vdst, "dst")
+            .select("src_role", "dst_role", "alive")
+        )
     elif args.algorithm == "clustering":
         from sharetrace_giraph_spark.algorithms import clustering_coefficient
 

@@ -1,6 +1,7 @@
 from .bfs import UNREACHED, bfs
 from .connected_components import connected_components
 from .kcore import k_core
+from .ktruss import k_truss
 from .label_propagation import label_propagation
 from .pagerank import pagerank
 from .risk_propagation import final_scores, init_state, risk_propagation
@@ -18,6 +19,7 @@ __all__ = [
     "shortest_paths",
     "connected_components",
     "k_core",
+    "k_truss",
     "label_propagation",
     "pagerank",
     "risk_propagation",

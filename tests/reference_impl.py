@@ -307,3 +307,21 @@ def sssp_py(wedges, vertices, sources):
             if u not in dist:
                 heapq.heappush(heap, (d + w, u))
     return dist
+
+
+def k_truss_py(edges, k, max_iters=30):
+    """Synchronous edge peeling: drop edges with < k-2 triangles among the
+    surviving set, all at once per round, up to max_iters rounds (the
+    engine's max_supersteps). Returns the surviving canonical edge set."""
+    alive = {(min(u, v), max(u, v)) for u, v in edges}
+    for _ in range(max_iters):
+        adj = defaultdict(set)
+        for u, v in alive:
+            adj[u].add(v)
+            adj[v].add(u)
+        sup = {(u, v): len(adj[u] & adj[v]) for u, v in alive}
+        nxt = {e for e in alive if sup[e] >= k - 2}
+        if nxt == alive:
+            break
+        alive = nxt
+    return alive

@@ -469,3 +469,44 @@ def test_lpa_weighted_exact(spark, medium_graph, ckpt):
                              max_supersteps=5)
     assert ({r.vertex_id: r.label for r in wres.state.collect()}
             == {r.vertex_id: r.label for r in base.state.collect()})
+
+
+def test_k_truss_peels_cascade(spark, ckpt):
+    """Two 4-cliques sharing one bridge edge plus a pendant triangle:
+    3-truss keeps everything but the pendant's tail edges... concretely,
+    k=4 (support >= 2) keeps exactly the two cliques (bridge and triangle
+    peel — the bridge edge sits in 0 triangles, the pendant triangle's
+    edges in 1 each, and the cascade must NOT stop early)."""
+    from sharetrace_giraph_spark.algorithms import k_truss
+    from .reference_impl import k_truss_py
+
+    k4a = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
+    k4b = [(4, 5), (4, 6), (4, 7), (5, 6), (5, 7), (6, 7)]
+    bridge = [(3, 4)]
+    pendant = [(7, 8), (7, 9), (8, 9)]
+    all_e = k4a + k4b + bridge + pendant
+    edges = spark.createDataFrame(sorted(all_e), "src long, dst long")
+
+    res = k_truss(spark, edges, k=4, checkpoint_dir=ckpt, run_id="kt4", resume=False)
+    got = {(r.src, r.dst) for r in res.state.collect() if r.alive == 1}
+    exp = k_truss_py(all_e, 4)
+    assert got == exp == set(k4a + k4b)
+    assert res.converged
+
+
+def test_k_truss_matches_oracle_on_random_graphs(spark, ckpt):
+    """Random dense-ish graphs vs the Python peeler at several k."""
+    import random
+
+    from sharetrace_giraph_spark.algorithms import k_truss
+    from .reference_impl import k_truss_py
+
+    rng = random.Random(99)
+    edges_py = sorted({tuple(sorted(rng.sample(range(12), 2))) for _ in range(40)})
+    edges = spark.createDataFrame(edges_py, "src long, dst long")
+    for k in (3, 4, 5):
+        res = k_truss(spark, edges, k=k, checkpoint_dir=ckpt, run_id=f"ktr{k}",
+                      resume=False, checkpoint_every=2)
+        got = {(r.src, r.dst) for r in res.state.collect() if r.alive == 1}
+        assert got == k_truss_py(edges_py, k), k
+        assert res.converged
