@@ -231,6 +231,29 @@ def q_graph_ktruss(spark, sf_dir):
     )
 
 
+def q_graph_walks(spark, sf_dir):
+    """Deterministic DeepWalk corpus: 2 keyed-hash walks of length 4 from
+    every non-isolated vertex, long format (walk_start, walk_idx, step,
+    vertex). The md5-ranked neighbor choice makes the DuckDB oracle a
+    bit-exact step-by-step replay (same hex strings, same tie-break)."""
+    from sharetrace_giraph_spark.algorithms import random_walks, walks_to_corpus
+
+    contacts, verts, enc = _graph(spark, sf_dir)
+    res = random_walks(spark, contacts.select("src", "dst"), _ckpt(),
+                       num_walks=2, walk_length=4, run_id="qrw",
+                       checkpoint_every=2)
+    return (
+        walks_to_corpus(res.state)
+        .select(
+            F.col("start").alias("walk_start"),
+            F.col("widx").cast("long").alias("walk_idx"),
+            F.col("step").cast("long").alias("step"),
+            "vertex",
+        )
+        .orderBy("walk_start", "walk_idx", "step")
+    )
+
+
 def q_graph_lpa(spark, sf_dir):
     """Labels reported in ROLE space (see q_graph_cc): the deterministic
     (count desc, label asc) tie-break is order-isomorphic between encoded
@@ -1490,6 +1513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_sssp": q_graph_sssp,
         "graph_kcore": q_graph_kcore,
         "graph_ktruss": q_graph_ktruss,
+        "graph_walks": q_graph_walks,
         "graph_triangles": q_graph_triangles,
         "graph_clustering": q_graph_clustering,
         "graph_edge_jaccard": q_graph_edge_jaccard,
@@ -1980,6 +2004,44 @@ def _ktruss_oracle(rounds: int = 30) -> str:
     """
 
 
+def _walks_oracle(num_walks: int = 2, walk_length: int = 4, seed: str = "rw") -> str:
+    """Keyed-hash walk replay unrolled to one CTE per step: the next hop is
+    row_number() = 1 under (md5(seed|start|widx|step|nbr), nbr) — the exact
+    ordering the engine's min(struct(rank, nbr)) computes; md5 hex strings
+    compare byte-identically in both engines, so every hop matches."""
+    steps = []
+    for s in range(walk_length):
+        steps.append(f"""
+    w{s + 1} AS MATERIALIZED (
+        SELECT start, widx, nbr AS cur, list_append(path, nbr) AS path FROM (
+            SELECT w.start, w.widx, w.path, u.dst AS nbr,
+                   row_number() OVER (
+                       PARTITION BY w.start, w.widx
+                       ORDER BY md5(concat_ws('|', '{seed}', w.start,
+                                    CAST(w.widx AS VARCHAR), '{s}', u.dst)),
+                                u.dst) AS rn
+            FROM w{s} w JOIN edges_u u ON u.src = w.cur
+        ) WHERE rn = 1
+    )""")
+    positions = " UNION ALL ".join(
+        f"SELECT start, widx, CAST({p} AS BIGINT) AS step, path[{p + 1}] AS vertex "
+        f"FROM w{walk_length}"
+        for p in range(walk_length + 1)
+    )
+    return f"""
+        WITH {_EDGE_CTES},
+        w0 AS MATERIALIZED (
+            SELECT role AS start, CAST(widx AS BIGINT) AS widx,
+                   role AS cur, [role] AS path
+            FROM verts
+            CROSS JOIN (SELECT unnest(generate_series(0, {num_walks - 1})) AS widx)),
+        {",".join(steps)}
+        SELECT start AS walk_start, widx AS walk_idx, step, vertex
+        FROM ({positions})
+        ORDER BY walk_start, walk_idx, step
+    """
+
+
 #: directed reply-edge derivation replayed in SQL: adjacent-turn speaker
 #: change per conversation → (src, dst, n_replies); rverts = ALL actors.
 #: No leading WITH — callers prepend.
@@ -2279,6 +2341,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_sssp": _sssp_oracle(),
         "graph_kcore": _kcore_oracle(),
         "graph_ktruss": _ktruss_oracle(),
+        "graph_walks": _walks_oracle(),
         "graph_triangles": _TRIANGLES_ORACLE,
         "graph_clustering": _CLUSTERING_ORACLE,
         "graph_edge_jaccard": _EDGE_JACCARD_ORACLE,

@@ -4,6 +4,7 @@ from .kcore import k_core
 from .ktruss import k_truss
 from .label_propagation import label_propagation
 from .pagerank import pagerank
+from .random_walks import random_walks, walks_to_corpus
 from .risk_propagation import final_scores, init_state, risk_propagation
 from .sssp import shortest_paths
 from .triangle_count import (
@@ -22,6 +23,8 @@ __all__ = [
     "k_truss",
     "label_propagation",
     "pagerank",
+    "random_walks",
+    "walks_to_corpus",
     "risk_propagation",
     "init_state",
     "final_scores",

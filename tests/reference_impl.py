@@ -325,3 +325,32 @@ def k_truss_py(edges, k, max_iters=30):
             break
         alive = nxt
     return alive
+
+
+def random_walks_py(edges, num_walks, walk_length, seed="rw"):
+    """Deterministic keyed-hash walks: at step k the walk at cur moves to
+    the neighbor minimizing (md5(seed|start|widx|k|nbr), nbr). Returns
+    {(start, widx): [start, v1, ..., v_walk_length]}."""
+    import hashlib
+
+    adj = defaultdict(set)
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    walks = {}
+    for start in sorted(adj):
+        for w in range(num_walks):
+            path, cur = [start], start
+            for k in range(walk_length):
+                cur = min(
+                    adj[cur],
+                    key=lambda n: (
+                        hashlib.md5(
+                            f"{seed}|{start}|{w}|{k}|{n}".encode()
+                        ).hexdigest(),
+                        n,
+                    ),
+                )
+                path.append(cur)
+            walks[(start, w)] = path
+    return walks
