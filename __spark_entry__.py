@@ -254,6 +254,34 @@ def q_graph_walks(spark, sf_dir):
     )
 
 
+def q_graph_neighborhood(spark, sf_dir):
+    """Per-vertex neighborhood function NF(v, r) for r = 0..3 (exact ball
+    unions — the oracle-able twin of the HLL-sketch HyperANF scale path,
+    same superstep skeleton, verified against it in pytest)."""
+    from sharetrace_giraph_spark.algorithms import neighborhood_function, nf_long
+    from sharetrace_giraph_spark.operators.edges import undirect
+
+    contacts, verts, enc = _graph(spark, sf_dir)
+    rverts = (
+        contacts.select(F.col("src").alias("vertex_id"))
+        .unionByName(contacts.select(F.col("dst").alias("vertex_id")))
+        .distinct()
+    )
+    res = neighborhood_function(
+        spark, undirect(contacts.select("src", "dst")), rverts, max_radius=3,
+        checkpoint_dir=_ckpt(), run_id="qnf", checkpoint_every=2,
+    )
+    return (
+        nf_long(res.state)
+        .select(
+            F.col("vertex_id").alias("vertex"),
+            F.col("radius").cast("long").alias("radius"),
+            F.col("reached").cast("long").alias("reached"),
+        )
+        .orderBy("vertex", "radius")
+    )
+
+
 def q_graph_lpa(spark, sf_dir):
     """Labels reported in ROLE space (see q_graph_cc): the deterministic
     (count desc, label asc) tie-break is order-isomorphic between encoded
@@ -1514,6 +1542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_kcore": q_graph_kcore,
         "graph_ktruss": q_graph_ktruss,
         "graph_walks": q_graph_walks,
+        "graph_neighborhood": q_graph_neighborhood,
         "graph_triangles": q_graph_triangles,
         "graph_clustering": q_graph_clustering,
         "graph_edge_jaccard": q_graph_edge_jaccard,
@@ -2004,6 +2033,33 @@ def _ktruss_oracle(rounds: int = 30) -> str:
     """
 
 
+#: per-vertex neighborhood function NF(v, r), r = 0..3: bounded all-pairs
+#: min-distance via a recursive CTE, then one count per (vertex, radius).
+#: The engine runs exactly min(max_radius, D_max+1) = 3 rounds here (the
+#: sf0.01 contact graph saturates at radius 2; the no-growth round still
+#: appends its saturated count before the halt), so both sides emit radii
+#: 0..3 — verified non-vacuous: radius-1 counts range 117..150, not flat.
+_NEIGHBORHOOD_ORACLE = f"""
+    WITH RECURSIVE {_EDGE_CTES},
+    reach(root, v, d) AS (
+        SELECT role, role, 0 FROM verts
+        UNION
+        SELECT r.root, u.dst, r.d + 1
+        FROM reach r JOIN edges_u u ON u.src = r.v
+        WHERE r.d < 3
+    ),
+    md AS (
+        SELECT root, v, min(d) AS d FROM reach GROUP BY root, v
+    )
+    SELECT md.root AS vertex, rr.radius, CAST(count(*) AS BIGINT) AS reached
+    FROM md JOIN (
+        SELECT CAST(unnest(generate_series(0, 3)) AS BIGINT) AS radius) rr
+      ON md.d <= rr.radius
+    GROUP BY vertex, rr.radius
+    ORDER BY vertex, radius
+"""
+
+
 def _walks_oracle(num_walks: int = 2, walk_length: int = 4, seed: str = "rw") -> str:
     """Keyed-hash walk replay unrolled to one CTE per step: the next hop is
     row_number() = 1 under (md5(seed|start|widx|step|nbr), nbr) — the exact
@@ -2342,6 +2398,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_kcore": _kcore_oracle(),
         "graph_ktruss": _ktruss_oracle(),
         "graph_walks": _walks_oracle(),
+        "graph_neighborhood": _NEIGHBORHOOD_ORACLE,
         "graph_triangles": _TRIANGLES_ORACLE,
         "graph_clustering": _CLUSTERING_ORACLE,
         "graph_edge_jaccard": _EDGE_JACCARD_ORACLE,

@@ -48,10 +48,19 @@ def main() -> None:
         required=True,
         choices=["pagerank", "cc", "lpa", "triangles", "risk_prop",
                  "bfs", "sssp", "clustering", "edge_jaccard", "adamic_adar",
-                 "kcore", "ktruss"],
+                 "kcore", "ktruss", "anf", "walks"],
     )
     ap.add_argument("--k", type=int, default=3,
                     help="kcore/ktruss only: the core/truss order k")
+    ap.add_argument("--nf-method", default="hll", choices=["exact", "hll"],
+                    help="anf only: exact ball unions (small graphs) or "
+                    "HyperLogLog sketches (the 100-TB path; ~2KB/vertex state)")
+    ap.add_argument("--max-radius", type=int, default=6,
+                    help="anf only: largest neighborhood radius to profile")
+    ap.add_argument("--num-walks", type=int, default=2,
+                    help="walks only: walks started per vertex")
+    ap.add_argument("--walk-length", type=int, default=4,
+                    help="walks only: hops per walk")
     ap.add_argument("--cc-method", default="frontier", choices=["frontier", "doubling"],
                     help="cc only: frontier min-label (O(diameter) supersteps) or "
                     "pointer-doubling (O(log V), high-diameter graphs)")
@@ -245,6 +254,34 @@ def main() -> None:
         out = (
             res.state.join(vsrc, "src").join(vdst, "dst")
             .select("src_role", "dst_role", "alive")
+        )
+    elif args.algorithm == "anf":
+        import pyspark.sql.functions as F
+
+        from sharetrace_giraph_spark.algorithms import neighborhood_function, nf_long
+
+        res = neighborhood_function(
+            spark, E.undirect(enc), verts, args.max_radius, args.checkpoint_dir,
+            method=args.nf_method, run_id=args.run_id, resume=resume,
+        )
+        out = nf_long(res.state).join(verts, "vertex_id").select(
+            "role", "radius", "reached"
+        )
+    elif args.algorithm == "walks":
+        import pyspark.sql.functions as F
+
+        from sharetrace_giraph_spark.algorithms import random_walks, walks_to_corpus
+
+        # walks run in role space directly: the corpus IS the user-facing
+        # artifact, so emit readable role tokens without a decode join
+        res = random_walks(
+            spark, contacts.select("src", "dst"), args.checkpoint_dir,
+            num_walks=args.num_walks, walk_length=args.walk_length,
+            run_id=args.run_id, resume=resume,
+        )
+        out = walks_to_corpus(res.state).select(
+            F.col("start").alias("walk_start"), F.col("widx").alias("walk_idx"),
+            "step", "vertex",
         )
     elif args.algorithm == "clustering":
         from sharetrace_giraph_spark.algorithms import clustering_coefficient

@@ -3,6 +3,7 @@ from .connected_components import connected_components
 from .kcore import k_core
 from .ktruss import k_truss
 from .label_propagation import label_propagation
+from .neighborhood import neighborhood_function, nf_long
 from .pagerank import pagerank
 from .random_walks import random_walks, walks_to_corpus
 from .risk_propagation import final_scores, init_state, risk_propagation
@@ -22,6 +23,8 @@ __all__ = [
     "k_core",
     "k_truss",
     "label_propagation",
+    "neighborhood_function",
+    "nf_long",
     "pagerank",
     "random_walks",
     "walks_to_corpus",

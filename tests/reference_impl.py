@@ -354,3 +354,26 @@ def random_walks_py(edges, num_walks, walk_length, seed="rw"):
                 path.append(cur)
             walks[(start, w)] = path
     return walks
+
+
+def neighborhood_py(edges, max_radius):
+    """Engine-mirroring neighborhood function: synchronous ball unions up
+    to max_radius rounds, halting early after one no-growth round (which
+    still appends its saturated count — the driver's halt-after-check).
+    Returns {vertex: [NF(v, 0), NF(v, 1), ...]} over vertices of edges."""
+    adj = defaultdict(set)
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    balls = {v: {v} for v in adj}
+    hist = {v: [1] for v in adj}
+    for _ in range(max_radius):
+        new = {v: balls[v] | set().union(*(balls[u] for u in adj[v]))
+               for v in adj}
+        grew = any(len(new[v]) > len(balls[v]) for v in adj)
+        balls = new
+        for v in adj:
+            hist[v].append(len(balls[v]))
+        if not grew:
+            break
+    return hist

@@ -572,3 +572,73 @@ def test_random_walks_kill_resume(spark, ckpt):
     assert resumed.resumed_from == 4 and resumed.supersteps_run == 0
     assert {(r.start, r.widx): list(r.path)
             for r in resumed.state.collect()} == want
+
+
+def test_neighborhood_exact_matches_python(spark, ckpt):
+    """Exact ANF on a random graph: per-vertex per-radius counts equal the
+    Python ball-union replay, including the early-halt saturation round."""
+    import random
+
+    from sharetrace_giraph_spark.algorithms import neighborhood_function
+    from sharetrace_giraph_spark.operators.edges import undirect
+    from .reference_impl import neighborhood_py
+
+    rng = random.Random(7)
+    edges_py = sorted({tuple(sorted(rng.sample(range(20), 2))) for _ in range(30)})
+    edges = spark.createDataFrame(edges_py, "src long, dst long")
+    vs = sorted({v for e in edges_py for v in e})
+    verts = spark.createDataFrame([(v,) for v in vs], "vertex_id long")
+
+    res = neighborhood_function(spark, undirect(edges), verts, max_radius=3,
+                                checkpoint_dir=ckpt, run_id="nf1", resume=False)
+    got = {r.vertex_id: list(r.hist) for r in res.state.collect()}
+    exp = neighborhood_py(edges_py, 3)
+    assert got == exp
+    # NF is monotone non-decreasing per vertex
+    assert all(a <= b for h in got.values() for a, b in zip(h, h[1:]))
+
+
+def test_neighborhood_early_halt_saturates(spark, ckpt):
+    """A 4-path saturates at its diameter: with max_radius well past it the
+    driver halts converged and the last counts equal the component size."""
+    from sharetrace_giraph_spark.algorithms import neighborhood_function, nf_long
+    from sharetrace_giraph_spark.operators.edges import undirect
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3)], "src long, dst long")
+    verts = spark.createDataFrame([(v,) for v in range(4)], "vertex_id long")
+    res = neighborhood_function(spark, undirect(edges), verts, max_radius=10,
+                                checkpoint_dir=ckpt, run_id="nf2", resume=False)
+    assert res.converged and res.supersteps_run == 4  # diameter 3 + no-growth round
+    got = {r.vertex_id: list(r.hist) for r in res.state.collect()}
+    assert all(h[-1] == 4 and h[-2] == 4 for h in got.values())
+    long = nf_long(res.state)
+    assert long.count() == 4 * 5  # 4 vertices x radii 0..4
+
+
+def test_neighborhood_hll_tracks_exact(spark, ckpt):
+    """HyperANF (HLL sketch state) estimates match the exact counts on a
+    small graph — Datasketches HLL is exact at these cardinalities — and
+    the sketch state round-trips the driver's parquet checkpoints."""
+    import random
+
+    from sharetrace_giraph_spark.algorithms import neighborhood_function
+    from sharetrace_giraph_spark.operators.edges import undirect
+    from .reference_impl import neighborhood_py
+
+    rng = random.Random(11)
+    edges_py = sorted({tuple(sorted(rng.sample(range(24), 2))) for _ in range(40)})
+    edges = spark.createDataFrame(edges_py, "src long, dst long")
+    vs = sorted({v for e in edges_py for v in e})
+    verts = spark.createDataFrame([(v,) for v in vs], "vertex_id long")
+
+    res = neighborhood_function(spark, undirect(edges), verts, max_radius=3,
+                                checkpoint_dir=ckpt, method="hll", run_id="nf3",
+                                resume=False, checkpoint_every=1)
+    got = {r.vertex_id: list(r.hist) for r in res.state.collect()}
+    exp = neighborhood_py(edges_py, 3)
+    assert set(got) == set(exp)
+    for v, h in got.items():
+        assert len(h) == len(exp[v])
+        for est, true in zip(h, exp[v]):
+            assert abs(est - true) <= max(1, 0.05 * true), (v, h, exp[v])
