@@ -1005,6 +1005,59 @@ def q_text_token_count_bpe(spark, sf_dir):
     return token_count_bpe(_t(spark, sf_dir, "documents")).orderBy("doc_id")
 
 
+def q_dedup_keep_best(spark, sf_dir):
+    """Canonical-document selection — the dedup pipeline's actual
+    end-product: every document labeled with its near-dup cluster and a
+    kept flag (1 = the cluster's highest-quality doc, ties to the lowest
+    doc_id; singletons keep themselves). Composes MinHash/LSH pairs → the
+    engine's pointer-doubling CC → per-cluster argmax on the deterministic
+    quality score; the retained corpus is ``WHERE kept = 1``."""
+    from sharetrace_giraph_spark.algorithms import connected_components
+    from sharetrace_giraph_spark.operators import edges as E
+    from sharetrace_giraph_spark.operators.dedup import minhash_near_duplicates
+    from sharetrace_giraph_spark.operators.text import quality_score
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_near_duplicates(d, threshold=0.2).select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).persist()
+    verts = (
+        pairs.select(F.col("src").alias("vertex_id"))
+        .unionByName(pairs.select(F.col("dst").alias("vertex_id")))
+        .distinct()
+    )
+    if verts.isEmpty():
+        clustered = spark.createDataFrame([], "doc_id long, comp long")
+    else:
+        res = connected_components(spark, E.undirect(pairs), verts, _ckpt(),
+                                   run_id="qkb", max_supersteps=50,
+                                   checkpoint_every=2, method="doubling")
+        clustered = res.state.select(F.col("vertex_id").alias("doc_id"), "comp")
+    pairs.unpersist()
+    q = quality_score(d).select("doc_id", "quality")
+    full = q.join(clustered, "doc_id", "left").select(
+        "doc_id", "quality",
+        F.coalesce("comp", F.col("doc_id")).alias("cluster_id"),
+    )
+    # best per cluster = max (quality, -doc_id): highest quality, then
+    # lowest id — one partial+final agg, no window over the full corpus
+    best = full.groupBy("cluster_id").agg(
+        F.max(
+            F.struct(F.col("quality").alias("q"), (-F.col("doc_id")).alias("nid"))
+        ).alias("m")
+    )
+    return (
+        full.join(best, "cluster_id")
+        .select(
+            "doc_id",
+            "cluster_id",
+            "quality",
+            (F.col("doc_id") == -F.col("m.nid")).cast("int").alias("kept"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_text_quality(spark, sf_dir):
     from sharetrace_giraph_spark.operators.text import quality_score
 
@@ -1581,6 +1634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_near_clusters": q_dedup_near_clusters,
+        "dedup_keep_best": q_dedup_keep_best,
         "dedup_simhash": q_dedup_simhash,
         "sample_hash_split": q_sample_hash_split,
         "full_outer_reconcile": q_full_outer_reconcile,
@@ -1912,6 +1966,63 @@ _DEDUP_CLUSTERS_ORACLE = f"""
     SELECT l.v AS doc_id, l.canonical_id,
            CAST(s.cluster_size AS BIGINT) AS cluster_size
     FROM labels l JOIN sizes s USING (canonical_id) ORDER BY doc_id
+"""
+
+#: canonical-doc selection: LSH pairs replayed in SQL, clusters via a
+#: recursive CTE, quality replayed (same rounded expressions as
+#: text_quality), kept = row_number 1 under (quality DESC, doc_id ASC) —
+#: the window spelling of the engine's max(struct(quality, -doc_id)).
+_DEDUP_KEEP_BEST_ORACLE = f"""
+    WITH RECURSIVE {_MINHASH_CTES},
+    du AS (SELECT a AS src, b AS dst FROM verified
+           UNION ALL SELECT b AS src, a AS dst FROM verified),
+    dverts AS (SELECT DISTINCT src AS v FROM du),
+    reach(v, m) AS (
+        SELECT v, v FROM dverts
+        UNION
+        SELECT e.dst, r.m FROM reach r JOIN du e ON e.src = r.v
+    ),
+    labels AS (SELECT v, min(m) AS comp FROM reach GROUP BY v),
+    qt AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+        FROM documents
+    ),
+    qm AS (
+        SELECT doc_id,
+               len(toks) AS n,
+               CASE WHEN len(toks) > 0 THEN
+                   CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks)
+               ELSE 0.0 END AS mean_len,
+               CASE WHEN len(toks) > 0 THEN
+                   CAST(len(list_filter(toks, x -> lower(x) IN
+                       ('the','and','of','to','a'))) AS DOUBLE) / len(toks)
+               ELSE 0.0 END AS stop_ratio
+        FROM qt
+    ),
+    qual AS (
+        SELECT doc_id,
+               round(least(n / 64.0, 1.0) * 0.5
+                     + least(stop_ratio * 5.0, 1.0) * 0.3
+                     + least(mean_len / 8.0, 1.0) * 0.2, 6) AS quality
+        FROM qm
+    ),
+    fulld AS (
+        SELECT q.doc_id, q.quality, coalesce(l.comp, q.doc_id) AS cluster_id
+        FROM qual q LEFT JOIN labels l ON l.v = q.doc_id
+    ),
+    best AS (
+        SELECT cluster_id, doc_id AS best_id FROM (
+            SELECT cluster_id, doc_id,
+                   row_number() OVER (PARTITION BY cluster_id
+                                      ORDER BY quality DESC, doc_id ASC) AS rn
+            FROM fulld
+        ) WHERE rn = 1
+    )
+    SELECT f.doc_id, f.cluster_id, f.quality,
+           CASE WHEN f.doc_id = b.best_id THEN 1 ELSE 0 END AS kept
+    FROM fulld f JOIN best b USING (cluster_id)
+    ORDER BY f.doc_id
 """
 
 _EMBEDDING_NEAR_DUP_ORACLE = """
@@ -2412,6 +2523,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_reply_pagerank": _reply_pagerank_oracle(),
         "dedup_minhash_lsh": _MINHASH_LSH_ORACLE,
         "dedup_near_clusters": _DEDUP_CLUSTERS_ORACLE,
+        "dedup_keep_best": _DEDUP_KEEP_BEST_ORACLE,
         "sample_hash_split": """
             SELECT split, CAST(count(*) AS BIGINT) AS n_docs FROM (
                 SELECT CASE WHEN b < 80 THEN 'train'
