@@ -282,6 +282,36 @@ def q_graph_neighborhood(spark, sf_dir):
     )
 
 
+def q_graph_harmonic(spark, sf_dir):
+    """Radius-bounded harmonic centrality H(v) = Σ_{0<d(v,u)<=3} 1/d(v,u),
+    folded from the neighborhood function's per-radius counts:
+    Σ_r (NF(r) − NF(r−1))/r — the HyperBall derivation (Boldi & Vigna),
+    which the HLL variant estimates identically at scale. The fold is a
+    fixed-order 3-term sum, mirrored term-for-term in the oracle so the
+    doubles agree bit-exactly."""
+    from sharetrace_giraph_spark.algorithms import neighborhood_function
+    from sharetrace_giraph_spark.operators.edges import undirect
+
+    contacts, verts, enc = _graph(spark, sf_dir)
+    rverts = (
+        contacts.select(F.col("src").alias("vertex_id"))
+        .unionByName(contacts.select(F.col("dst").alias("vertex_id")))
+        .distinct()
+    )
+    res = neighborhood_function(
+        spark, undirect(contacts.select("src", "dst")), rverts, max_radius=3,
+        checkpoint_dir=_ckpt(), run_id="qhc", checkpoint_every=2,
+    )
+    harmonic = F.expr(
+        "round(aggregate(sequence(1, size(hist) - 1), 0.0D,"
+        " (acc, r) -> acc + (element_at(hist, r + 1) - element_at(hist, r))"
+        " / CAST(r AS DOUBLE)), 6)"
+    )
+    return res.state.select(
+        F.col("vertex_id").alias("vertex"), harmonic.alias("harmonic")
+    ).orderBy("vertex")
+
+
 def q_graph_lpa(spark, sf_dir):
     """Labels reported in ROLE space (see q_graph_cc): the deterministic
     (count desc, label asc) tie-break is order-isomorphic between encoded
@@ -1596,6 +1626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_ktruss": q_graph_ktruss,
         "graph_walks": q_graph_walks,
         "graph_neighborhood": q_graph_neighborhood,
+        "graph_harmonic": q_graph_harmonic,
         "graph_triangles": q_graph_triangles,
         "graph_clustering": q_graph_clustering,
         "graph_edge_jaccard": q_graph_edge_jaccard,
@@ -2171,6 +2202,37 @@ _NEIGHBORHOOD_ORACLE = f"""
 """
 
 
+#: harmonic centrality from the same bounded all-pairs min-distance CTE:
+#: per-radius reached counts nf0..nf3 pivoted into columns, then the SAME
+#: fixed-order fold the engine runs — ((nf1−nf0)/1 + (nf2−nf1)/2 +
+#: (nf3−nf2)/3) — so float accumulation order (and hence round(6)) agrees.
+_HARMONIC_ORACLE = f"""
+    WITH RECURSIVE {_EDGE_CTES},
+    reach(root, v, d) AS (
+        SELECT role, role, 0 FROM verts
+        UNION
+        SELECT r.root, u.dst, r.d + 1
+        FROM reach r JOIN edges_u u ON u.src = r.v
+        WHERE r.d < 3
+    ),
+    md AS (
+        SELECT root, v, min(d) AS d FROM reach GROUP BY root, v
+    ),
+    nf AS (
+        SELECT root,
+               CAST(count(*) FILTER (WHERE d <= 0) AS DOUBLE) AS nf0,
+               CAST(count(*) FILTER (WHERE d <= 1) AS DOUBLE) AS nf1,
+               CAST(count(*) FILTER (WHERE d <= 2) AS DOUBLE) AS nf2,
+               CAST(count(*) FILTER (WHERE d <= 3) AS DOUBLE) AS nf3
+        FROM md GROUP BY root
+    )
+    SELECT root AS vertex,
+           round((nf1 - nf0) / 1.0 + (nf2 - nf1) / 2.0 + (nf3 - nf2) / 3.0,
+                 6) AS harmonic
+    FROM nf ORDER BY vertex
+"""
+
+
 def _walks_oracle(num_walks: int = 2, walk_length: int = 4, seed: str = "rw") -> str:
     """Keyed-hash walk replay unrolled to one CTE per step: the next hop is
     row_number() = 1 under (md5(seed|start|widx|step|nbr), nbr) — the exact
@@ -2510,6 +2572,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_ktruss": _ktruss_oracle(),
         "graph_walks": _walks_oracle(),
         "graph_neighborhood": _NEIGHBORHOOD_ORACLE,
+        "graph_harmonic": _HARMONIC_ORACLE,
         "graph_triangles": _TRIANGLES_ORACLE,
         "graph_clustering": _CLUSTERING_ORACLE,
         "graph_edge_jaccard": _EDGE_JACCARD_ORACLE,
