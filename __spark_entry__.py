@@ -312,6 +312,33 @@ def q_graph_harmonic(spark, sf_dir):
     ).orderBy("vertex")
 
 
+def q_graph_degree_hist(spark, sf_dir):
+    """Log2-bucketed degree-distribution histogram — the standard power-law
+    diagnostic for a link graph (is this edge table hub-skewed, and how
+    hard?). Degrees from one union + one hash agg over the canonical
+    contact pairs (partial+final, map-side combine); bucketing is a pure
+    column expression so the second agg keys on at most ~64 buckets —
+    the whole query is two shuffles regardless of graph size. Exact
+    powers of two bucket exactly (log2 is exact there in both engines)."""
+    contacts, verts, enc = _graph(spark, sf_dir)
+    deg = (
+        contacts.select(F.col("src").alias("role"))
+        .unionByName(contacts.select(F.col("dst").alias("role")))
+        .groupBy("role")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    return (
+        deg.select(F.floor(F.log2("deg")).cast("long").alias("bucket"), "deg")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_vertices"),
+            F.min("deg").alias("min_deg"),
+            F.max("deg").alias("max_deg"),
+        )
+        .orderBy("bucket")
+    )
+
+
 def q_graph_lpa(spark, sf_dir):
     """Labels reported in ROLE space (see q_graph_cc): the deterministic
     (count desc, label asc) tie-break is order-isomorphic between encoded
@@ -1627,6 +1654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_walks": q_graph_walks,
         "graph_neighborhood": q_graph_neighborhood,
         "graph_harmonic": q_graph_harmonic,
+        "graph_degree_hist": q_graph_degree_hist,
         "graph_triangles": q_graph_triangles,
         "graph_clustering": q_graph_clustering,
         "graph_edge_jaccard": q_graph_edge_jaccard,
@@ -2181,6 +2209,22 @@ def _ktruss_oracle(rounds: int = 30) -> str:
 #: sf0.01 contact graph saturates at radius 2; the no-growth round still
 #: appends its saturated count before the halt), so both sides emit radii
 #: 0..3 — verified non-vacuous: radius-1 counts range 117..150, not flat.
+#: degree histogram: undirected degree = fan-out in the doubled edge set
+#: (edges_u has both directions, so GROUP BY src counts incident edges);
+#: log2 is exact at powers of two in both engines, so buckets agree.
+_DEGREE_HIST_ORACLE = f"""
+    WITH {_EDGE_CTES},
+    deg AS (
+        SELECT src AS role, count(*) AS deg FROM edges_u GROUP BY src
+    )
+    SELECT CAST(floor(log2(deg)) AS BIGINT) AS bucket,
+           count(*) AS n_vertices,
+           min(deg) AS min_deg,
+           max(deg) AS max_deg
+    FROM deg GROUP BY bucket ORDER BY bucket
+"""
+
+
 _NEIGHBORHOOD_ORACLE = f"""
     WITH RECURSIVE {_EDGE_CTES},
     reach(root, v, d) AS (
@@ -2573,6 +2617,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_walks": _walks_oracle(),
         "graph_neighborhood": _NEIGHBORHOOD_ORACLE,
         "graph_harmonic": _HARMONIC_ORACLE,
+        "graph_degree_hist": _DEGREE_HIST_ORACLE,
         "graph_triangles": _TRIANGLES_ORACLE,
         "graph_clustering": _CLUSTERING_ORACLE,
         "graph_edge_jaccard": _EDGE_JACCARD_ORACLE,
