@@ -312,6 +312,34 @@ def q_graph_harmonic(spark, sf_dir):
     ).orderBy("vertex")
 
 
+def q_graph_strength_topk(spark, sf_dir):
+    """Top-20 vertices by strength (duration-weighted degree) — the
+    weighted-graph sibling of the degree ranking: who co-occurs the most,
+    by total co-presence time rather than contact count. One union + one
+    hash agg (partial+final) over the per-pair weights; the top-k is a
+    TakeOrderedAndProject (per-partition heap + driver merge of 20-row
+    heads), never a global sort. Weights are the engine's canonical
+    duration_ms + 1 LONGs (see _weighted_und), so sums are exact."""
+    contacts, verts, enc = _graph(spark, sf_dir)
+    wc = contacts.select(
+        "src", "dst",
+        (
+            F.aggregate(
+                "occurrences", F.lit(0).cast("long"),
+                lambda acc, o: acc + o["duration_ms"],
+            ) + 1
+        ).alias("w"),
+    )
+    return (
+        wc.select(F.col("src").alias("vertex"), "w")
+        .unionByName(wc.select(F.col("dst").alias("vertex"), "w"))
+        .groupBy("vertex")
+        .agg(F.sum("w").alias("strength"), F.count(F.lit(1)).alias("degree"))
+        .orderBy(F.desc("strength"), "vertex")
+        .limit(20)
+    )
+
+
 def q_graph_degree_hist(spark, sf_dir):
     """Log2-bucketed degree-distribution histogram — the standard power-law
     diagnostic for a link graph (is this edge table hub-skewed, and how
@@ -1655,6 +1683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_neighborhood": q_graph_neighborhood,
         "graph_harmonic": q_graph_harmonic,
         "graph_degree_hist": q_graph_degree_hist,
+        "graph_strength_topk": q_graph_strength_topk,
         "graph_triangles": q_graph_triangles,
         "graph_clustering": q_graph_clustering,
         "graph_edge_jaccard": q_graph_edge_jaccard,
@@ -2209,6 +2238,25 @@ def _ktruss_oracle(rounds: int = 30) -> str:
 #: sf0.01 contact graph saturates at radius 2; the no-growth round still
 #: appends its saturated count before the halt), so both sides emit radii
 #: 0..3 — verified non-vacuous: radius-1 counts range 117..150, not flat.
+#: strength = Σ incident edge weights; the weight CTE is the proven
+#: duration_ms + 1 replay shared with the weighted-PPR/SSSP/LPA oracles
+#: (dedup rows ≡ the engine's occurrences array, sum(dur_s)*1000 exact).
+_STRENGTH_TOPK_ORACLE = f"""
+    WITH {_EDGE_CTES},
+    w AS (SELECT src, dst, CAST(sum(dur_s) * 1000 + 1 AS BIGINT) AS w
+          FROM dedup GROUP BY src, dst),
+    inc AS (
+        SELECT src AS vertex, w FROM w
+        UNION ALL
+        SELECT dst AS vertex, w FROM w
+    )
+    SELECT vertex, CAST(sum(w) AS BIGINT) AS strength,
+           count(*) AS degree
+    FROM inc GROUP BY vertex
+    ORDER BY strength DESC, vertex LIMIT 20
+"""
+
+
 #: degree histogram: undirected degree = fan-out in the doubled edge set
 #: (edges_u has both directions, so GROUP BY src counts incident edges);
 #: log2 is exact at powers of two in both engines, so buckets agree.
@@ -2618,6 +2666,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_neighborhood": _NEIGHBORHOOD_ORACLE,
         "graph_harmonic": _HARMONIC_ORACLE,
         "graph_degree_hist": _DEGREE_HIST_ORACLE,
+        "graph_strength_topk": _STRENGTH_TOPK_ORACLE,
         "graph_triangles": _TRIANGLES_ORACLE,
         "graph_clustering": _CLUSTERING_ORACLE,
         "graph_edge_jaccard": _EDGE_JACCARD_ORACLE,
