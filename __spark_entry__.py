@@ -312,6 +312,67 @@ def q_graph_harmonic(spark, sf_dir):
     ).orderBy("vertex")
 
 
+def q_graph_effective_diameter(spark, sf_dir):
+    """Effective diameter from the HyperANF HLL path — the 100-TB
+    representation (neighborhood.py method="hll": per-vertex reached-set
+    as a Datasketches HLL sketch, O(2^lg_k) bytes per vertex regardless of
+    ball size) exercised under the driver. Folds the per-radius HLL
+    estimates into NF_total(r) = Σ_v |ball(v, r)| and reports the smallest
+    radius where NF_total reaches 90% of the saturated total (the standard
+    effective-diameter definition, Palmer et al. KDD 2002).
+
+    Oracle-able because Datasketches HLL is EXACT at these cardinalities
+    (coupon-list mode below ~2^lg_k/4 distinct items; sf0.01 balls hold
+    ≤150 vertices vs lg_k=12 → 1024), so rounding each estimate to a long
+    reproduces the exact-BFS CTE bit-for-bit; the estimate-vs-exact
+    tolerance at beyond-coupon scale is covered by
+    tests/test_graph_algorithms.py::test_effective_diameter_hll_tolerance."""
+    from sharetrace_giraph_spark.algorithms import neighborhood_function, nf_long
+    from sharetrace_giraph_spark.operators.edges import undirect
+
+    contacts, verts, enc = _graph(spark, sf_dir)
+    rverts = (
+        contacts.select(F.col("src").alias("vertex_id"))
+        .unionByName(contacts.select(F.col("dst").alias("vertex_id")))
+        .distinct()
+    )
+    res = neighborhood_function(
+        spark, undirect(contacts.select("src", "dst")), rverts, max_radius=4,
+        checkpoint_dir=_ckpt(), method="hll", lg_k=12, run_id="qed",
+        checkpoint_every=2,
+    )
+    tot = (
+        nf_long(res.state)
+        .groupBy("radius")
+        .agg(F.sum(F.round("reached").cast("long")).alias("nf_total"))
+    )
+    # NF is monotone in r, so the saturated total is max(nf_total); the
+    # whole fold is a 1-row broadcast against a ≤5-row aggregate — no
+    # driver-side logic
+    mx = tot.agg(F.max("nf_total").alias("nf_max"))
+    return (
+        tot.crossJoin(F.broadcast(mx))
+        .where(F.col("nf_total").cast("double") >= 0.9 * F.col("nf_max"))
+        .agg(
+            F.min("radius").cast("long").alias("eff_diameter"),
+            F.max("nf_max").alias("nf_max"),
+        )
+    )
+
+
+def q_graph_butterflies(spark, sf_dir):
+    """Exact global 4-cycle (butterfly) count over the contact graph via
+    the degree-oriented L/M wedge decomposition (algorithms/squares.py —
+    out-out + in-out wedges only, O(E^1.5) regardless of hub skew). The
+    oracle is an INDEPENDENT formula: per-pair common-neighbor counts
+    λ(u,w) from a center self-join, Σ C(λ,2) / 2 (each cycle seen from
+    both diagonals) — two different derivations agreeing on one number."""
+    from sharetrace_giraph_spark.algorithms import square_count
+
+    contacts, verts, enc = _graph(spark, sf_dir)
+    return square_count(contacts.select("src", "dst"))
+
+
 def q_graph_strength_topk(spark, sf_dir):
     """Top-20 vertices by strength (duration-weighted degree) — the
     weighted-graph sibling of the degree ranking: who co-occurs the most,
@@ -1666,8 +1727,52 @@ def q_streaming_enrich(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Query registry. ORDER MATTERS for driver evidence: the driver's
+    correctness harness runs a bounded prefix of this dict (the first ~50
+    entries in r02), so entries that have never had a driver CORRECTNESS
+    row lead, and the 50 entries already triple-green in CORRECTNESS_r02
+    trail (their pytest oracle twin, tests/test_entry_oracle.py, still
+    runs all of them every round)."""
     return {
-        # graph pipeline (rows-only; golden-fixture-verified in tests/)
+        # --- never driver-tested (no CORRECTNESS row in r01 or r02) ---
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_near_clusters": q_dedup_near_clusters,
+        "dedup_keep_best": q_dedup_keep_best,
+        "dedup_simhash": q_dedup_simhash,
+        "embedding_near_dup": q_embedding_near_dup,
+        "asof_join_latest": q_asof_join_latest,
+        "text_tfidf_top": q_text_tfidf_top,
+        "text_repetition": q_text_repetition,
+        "pii_redact": q_pii_redact,
+        "contamination_ngram": q_contamination_ngram,
+        "sample_hash_split": q_sample_hash_split,
+        "full_outer_reconcile": q_full_outer_reconcile,
+        "json_extract_agg": q_json_extract_agg,
+        "pivot_counts": q_pivot_counts,
+        "quantiles": q_quantiles,
+        "window_rank_stats": q_window_rank_stats,
+        "cube_agg": q_cube_agg,
+        "multimodal_frames": q_multimodal_frames,
+        "multimodal_resize": q_multimodal_resize,
+        "graph_assortativity": q_graph_assortativity,
+        "streaming_windowed": q_streaming_windowed,
+        "streaming_sessionize": q_streaming_sessionize,
+        "streaming_dedup": q_streaming_dedup,
+        "streaming_enrich": q_streaming_enrich,
+        # --- new this round ---
+        "graph_effective_diameter": q_graph_effective_diameter,
+        "graph_butterflies": q_graph_butterflies,
+        # --- driver-green in r01 only (not re-run in r02) ---
+        "sim_topk_bruteforce": q_sim_topk_bruteforce,
+        "sim_topk_ivf": q_sim_topk_ivf,
+        "text_fingerprint": q_text_fingerprint,
+        "text_token_count": q_text_token_count,
+        "text_token_count_bpe": q_text_token_count_bpe,
+        "text_quality": q_text_quality,
+        "text_lang_id": q_text_lang_id,
+        "multimodal_meta": q_multimodal_meta,
+        "multimodal_stats": q_multimodal_stats,
+        # --- r02 triple-green; highest-value re-tests first ---
         "graph_pagerank": q_graph_pagerank,
         "graph_ppr": q_graph_ppr,
         "graph_cc": q_graph_cc,
@@ -1692,7 +1797,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_risk_prop": q_graph_risk_prop,
         "reply_edges": q_reply_edges,
         "graph_reply_pagerank": q_graph_reply_pagerank,
-        # relational surface with DuckDB oracles
         "expiry_filter": q_expiry_filter,
         "substring_obfuscate": q_substring_obfuscate,
         "top1_per_key": q_top1_per_key,
@@ -1717,44 +1821,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_agg": q_rollup_agg,
         "contacts_summary": q_contacts_summary,
         "degree_census": q_degree_census,
-        # training-data pipeline ops
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_near_clusters": q_dedup_near_clusters,
-        "dedup_keep_best": q_dedup_keep_best,
-        "dedup_simhash": q_dedup_simhash,
-        "sample_hash_split": q_sample_hash_split,
-        "full_outer_reconcile": q_full_outer_reconcile,
-        "asof_join_latest": q_asof_join_latest,
-        "text_tfidf_top": q_text_tfidf_top,
-        "json_extract_agg": q_json_extract_agg,
-        "pivot_counts": q_pivot_counts,
-        "text_fingerprint": q_text_fingerprint,
-        "text_token_count": q_text_token_count,
-        "text_token_count_bpe": q_text_token_count_bpe,
-        "text_quality": q_text_quality,
-        "text_lang_id": q_text_lang_id,
-        "sim_topk_bruteforce": q_sim_topk_bruteforce,
-        "sim_topk_ivf": q_sim_topk_ivf,
-        "embedding_near_dup": q_embedding_near_dup,
-        "multimodal_meta": q_multimodal_meta,
-        "multimodal_frames": q_multimodal_frames,
-        "multimodal_resize": q_multimodal_resize,
-        "multimodal_stats": q_multimodal_stats,
-        "quantiles": q_quantiles,
-        "window_rank_stats": q_window_rank_stats,
-        "cube_agg": q_cube_agg,
-        "text_repetition": q_text_repetition,
-        "pii_redact": q_pii_redact,
-        "contamination_ngram": q_contamination_ngram,
-        "graph_assortativity": q_graph_assortativity,
-        # structured streaming (finite availableNow drains of the same
-        # parquet inputs; results are batch-equivalent, hence oracle-able)
-        "streaming_windowed": q_streaming_windowed,
-        "streaming_sessionize": q_streaming_sessionize,
-        "streaming_dedup": q_streaming_dedup,
-        "streaming_enrich": q_streaming_enrich,
     }
 
 
@@ -2325,6 +2393,61 @@ _HARMONIC_ORACLE = f"""
 """
 
 
+#: effective diameter from the EXACT bounded all-pairs min-distance CTE —
+#: NF_total(r) = Σ_v |ball(v, r)|, eff_diameter = min r with NF_total(r) ≥
+#: 0.9 · saturated total. The engine computes the same fold from HLL
+#: estimates, which are exact at sf0.01 cardinalities (coupon-list mode);
+#: 0.9·nf_max is evaluated in double on both sides (identical IEEE result
+#: from identical integer inputs). Radius window 0..4 vs the engine's
+#: early-halt hist is immaterial: both cover every radius up to
+#: saturation, and the fold only reads radii ≤ the 90% crossing.
+_EFF_DIAMETER_ORACLE = f"""
+    WITH RECURSIVE {_EDGE_CTES},
+    reach(root, v, d) AS (
+        SELECT role, role, 0 FROM verts
+        UNION
+        SELECT r.root, u.dst, r.d + 1
+        FROM reach r JOIN edges_u u ON u.src = r.v
+        WHERE r.d < 4
+    ),
+    md AS (
+        SELECT root, v, min(d) AS d FROM reach GROUP BY root, v
+    ),
+    tot AS (
+        SELECT rr.radius, CAST(count(*) AS BIGINT) AS nf_total
+        FROM md JOIN (
+            SELECT CAST(unnest(generate_series(0, 4)) AS BIGINT) AS radius) rr
+          ON md.d <= rr.radius
+        GROUP BY rr.radius
+    ),
+    mx AS (SELECT max(nf_total) AS nf_max FROM tot)
+    SELECT CAST(min(t.radius) AS BIGINT) AS eff_diameter,
+           CAST(max(m.nf_max) AS BIGINT) AS nf_max
+    FROM tot t, mx m
+    WHERE CAST(t.nf_total AS DOUBLE) >= 0.9 * m.nf_max
+"""
+
+
+#: global 4-cycle count by the INDEPENDENT diagonal formula: λ(u,w) =
+#: common-neighbor count from a center self-join (edges_u ⋈ edges_u on the
+#: center), then Σ_{u<w} C(λ,2) / 2 — each cycle is seen from both of its
+#: diagonals, hence the halving (integer division is exact: the sum is
+#: even by construction). The engine uses the ESCAPE L/M orientation
+#: decomposition (algorithms/squares.py) — two derivations, one number.
+_BUTTERFLIES_ORACLE = f"""
+    WITH {_EDGE_CTES},
+    cn AS (
+        SELECT e1.dst AS u, e2.dst AS w, count(*) AS lam
+        FROM edges_u e1 JOIN edges_u e2
+          ON e1.src = e2.src AND e1.dst < e2.dst
+        GROUP BY u, w
+    )
+    SELECT CAST(coalesce(sum(lam * (lam - 1) // 2), 0) // 2 AS BIGINT)
+               AS n_squares
+    FROM cn
+"""
+
+
 def _walks_oracle(num_walks: int = 2, walk_length: int = 4, seed: str = "rw") -> str:
     """Keyed-hash walk replay unrolled to one CTE per step: the next hop is
     row_number() = 1 under (md5(seed|start|widx|step|nbr), nbr) — the exact
@@ -2664,6 +2787,8 @@ def oracle_sql() -> dict[str, str]:
         "graph_ktruss": _ktruss_oracle(),
         "graph_walks": _walks_oracle(),
         "graph_neighborhood": _NEIGHBORHOOD_ORACLE,
+        "graph_effective_diameter": _EFF_DIAMETER_ORACLE,
+        "graph_butterflies": _BUTTERFLIES_ORACLE,
         "graph_harmonic": _HARMONIC_ORACLE,
         "graph_degree_hist": _DEGREE_HIST_ORACLE,
         "graph_strength_topk": _STRENGTH_TOPK_ORACLE,

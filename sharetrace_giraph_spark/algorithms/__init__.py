@@ -7,6 +7,7 @@ from .neighborhood import neighborhood_function, nf_long
 from .pagerank import pagerank
 from .random_walks import random_walks, walks_to_corpus
 from .risk_propagation import final_scores, init_state, risk_propagation
+from .squares import square_count, square_pair_counts
 from .sssp import shortest_paths
 from .triangle_count import (
     clustering_coefficient,
@@ -31,6 +32,8 @@ __all__ = [
     "risk_propagation",
     "init_state",
     "final_scores",
+    "square_count",
+    "square_pair_counts",
     "triangles",
     "clustering_coefficient",
     "edge_jaccard",

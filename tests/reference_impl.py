@@ -377,3 +377,21 @@ def neighborhood_py(edges, max_radius):
         if not grew:
             break
     return hist
+
+
+def squares_py(edges):
+    """Brute-force exact 4-cycle count: λ(u,w) = common-neighbor count per
+    unordered pair, Σ C(λ,2) / 2 (each cycle seen from both diagonals) —
+    deliberately a DIFFERENT formula than the engine's L/M orientation
+    decomposition (algorithms/squares.py)."""
+    adj = defaultdict(set)
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    vs = sorted(adj)
+    total = 0
+    for i, u in enumerate(vs):
+        for w in vs[i + 1:]:
+            lam = len(adj[u] & adj[w])
+            total += lam * (lam - 1) // 2
+    return total // 2

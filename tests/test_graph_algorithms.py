@@ -642,3 +642,107 @@ def test_neighborhood_hll_tracks_exact(spark, ckpt):
         assert len(h) == len(exp[v])
         for est, true in zip(h, exp[v]):
             assert abs(est - true) <= max(1, 0.05 * true), (v, h, exp[v])
+
+
+def _sq(spark, edges_py):
+    from sharetrace_giraph_spark.algorithms import square_count
+
+    e = spark.createDataFrame(edges_py, "src long, dst long")
+    return square_count(e).collect()[0]["n_squares"]
+
+
+def test_squares_planted_fixtures(spark):
+    """Golden shapes: K_{2,n} has C(n,2) butterflies; a path and C5 have
+    none; C4 has one; the diamond (C4 + chord) still exactly one; K4 has
+    three. Exercises every center-type signature of the L/M charging."""
+    def k2n(n):
+        # left = {0, 1}, right = {2 .. n+1}
+        return [(l, r) for l in (0, 1) for r in range(2, n + 2)]
+
+    assert _sq(spark, k2n(2)) == 1
+    assert _sq(spark, k2n(5)) == 10
+    assert _sq(spark, [(0, 1), (1, 2), (2, 3), (3, 4)]) == 0          # path
+    assert _sq(spark, [(0, 1), (1, 2), (2, 3), (3, 4), (4, 0)]) == 0  # C5
+    assert _sq(spark, [(0, 1), (1, 2), (2, 3), (3, 0)]) == 1          # C4
+    assert _sq(spark, [(0, 1), (1, 2), (2, 3), (3, 0), (0, 2)]) == 1  # diamond
+    assert _sq(spark, [(a, b) for a in range(4) for b in range(a + 1, 4)]) == 3  # K4
+
+
+def test_squares_match_bruteforce_random(spark):
+    """Engine L/M decomposition ≡ the independent Σ C(λ,2)/2 formula on
+    seeded random graphs (including one with a planted hub, the skew case
+    the orientation exists for)."""
+    import random
+
+    from .reference_impl import squares_py
+
+    for seed, n, m in [(7, 18, 40), (8, 25, 70), (9, 30, 60)]:
+        rng = random.Random(seed)
+        edges = sorted({tuple(sorted(rng.sample(range(n), 2))) for _ in range(m)})
+        assert _sq(spark, edges) == squares_py(edges), (seed, n, m)
+    # planted hub: vertex 0 adjacent to everything + a random sprinkle
+    rng = random.Random(10)
+    hub = [(0, v) for v in range(1, 20)]
+    extra = sorted({tuple(sorted(rng.sample(range(1, 20), 2))) for _ in range(30)})
+    edges = sorted(set(hub) | set(extra))
+    assert _sq(spark, edges) == squares_py(edges)
+
+
+def test_squares_medium_graph(spark, medium_graph):
+    """Community-structured transcript-derived graph vs brute force."""
+    from .reference_impl import squares_py
+
+    contacts, verts, enc, edge_list = medium_graph
+    got = (
+        __import__("sharetrace_giraph_spark.algorithms", fromlist=["square_count"])
+        .square_count(enc.select("src", "dst"))
+        .collect()[0]["n_squares"]
+    )
+    assert got == squares_py(edge_list)
+
+
+def test_effective_diameter_hll_tolerance(spark, ckpt):
+    """The HLL (HyperANF) fold vs exact balls BEYOND coupon-exact range:
+    lg_k=4 (16 registers) forces true estimation mode on a 120-vertex
+    graph. The per-radius NF totals must track exact within the sketch's
+    error band, and the derived effective diameter within ±1 radius —
+    the documented tolerance contract of q_graph_effective_diameter."""
+    import random
+
+    from sharetrace_giraph_spark.algorithms import neighborhood_function, nf_long
+    from sharetrace_giraph_spark.operators.edges import undirect
+    from .reference_impl import neighborhood_py
+
+    rng = random.Random(21)
+    edges_py = sorted({tuple(sorted(rng.sample(range(120), 2))) for _ in range(260)})
+    edges = spark.createDataFrame(edges_py, "src long, dst long")
+    vs = sorted({v for e in edges_py for v in e})
+    verts = spark.createDataFrame([(v,) for v in vs], "vertex_id long")
+
+    res = neighborhood_function(spark, undirect(edges), verts, max_radius=6,
+                                checkpoint_dir=ckpt, method="hll", lg_k=4,
+                                run_id="edtol", resume=False)
+    got = (
+        nf_long(res.state).groupBy("radius")
+        .agg(F.sum(F.round("reached").cast("long")).alias("nf"))
+        .collect()
+    )
+    got_tot = {r.radius: r.nf for r in got}
+
+    exact_hist = neighborhood_py(edges_py, 6)
+    n_radii = max(len(h) for h in exact_hist.values())
+    exact_tot = {
+        r: sum(h[min(r, len(h) - 1)] for h in exact_hist.values())
+        for r in range(n_radii)
+    }
+
+    def eff_diam(tot):
+        sat = max(tot.values())
+        return min(r for r, nf in sorted(tot.items()) if nf >= 0.9 * sat)
+
+    # estimation-mode error at lg_k=4 is ~26% 1σ; assert a loose 40% band
+    # per radius plus the ±1 diameter contract
+    for r in got_tot:
+        e = exact_tot[min(r, n_radii - 1)]
+        assert abs(got_tot[r] - e) <= max(2, 0.4 * e), (r, got_tot[r], e)
+    assert abs(eff_diam(got_tot) - eff_diam(exact_tot)) <= 1
