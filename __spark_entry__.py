@@ -28,6 +28,17 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+#: per-bucket membership cap for every LSH / simhash composition below —
+#: a giant duplicate cluster puts its whole membership into one band
+#: bucket / prefix bucket and makes the within-bucket self-join quadratic
+#: (cap·(cap−1)/2 pairs max per bucket survives 100 TB; unbounded does
+#: not). Oversized buckets are dropped LOUDLY (log_dropped=True) and the
+#: oracles replay the identical cap, so driver rows stay hash-green at
+#: any corpus shape. tests/test_training_data_ops.py plants a giant
+#: cluster and asserts both the bound and recall on normal pairs.
+LSH_MAX_BUCKET = 64
+
+
 # ---------------------------------------------------------------------------
 # transcripts view derived from the events table (deterministic), so the
 # graph pipeline runs end-to-end on driver-provided data: actors = users,
@@ -1164,7 +1175,9 @@ def q_dedup_keep_best(spark, sf_dir):
     from sharetrace_giraph_spark.operators.text import quality_score
 
     d = _t(spark, sf_dir, "documents")
-    pairs = minhash_near_duplicates(d, threshold=0.2).select(
+    pairs = minhash_near_duplicates(
+        d, threshold=0.2, max_bucket_size=LSH_MAX_BUCKET, log_dropped=True
+    ).select(
         F.col("a").alias("src"), F.col("b").alias("dst")
     ).persist()
     verts = (
@@ -1237,7 +1250,9 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     from sharetrace_giraph_spark.operators.dedup import minhash_near_duplicates
 
     d = _t(spark, sf_dir, "documents")
-    return minhash_near_duplicates(d, threshold=0.2).orderBy("a", "b")
+    return minhash_near_duplicates(
+        d, threshold=0.2, max_bucket_size=LSH_MAX_BUCKET, log_dropped=True
+    ).orderBy("a", "b")
 
 
 def q_dedup_near_clusters(spark, sf_dir):
@@ -1256,7 +1271,9 @@ def q_dedup_near_clusters(spark, sf_dir):
     # persisted: isEmpty, the vertex union, and the CC edge cache would
     # otherwise each re-run the whole LSH pipeline (its most expensive
     # stage) from lineage
-    pairs = minhash_near_duplicates(d, threshold=0.2).select(
+    pairs = minhash_near_duplicates(
+        d, threshold=0.2, max_bucket_size=LSH_MAX_BUCKET, log_dropped=True
+    ).select(
         F.col("a").alias("src"), F.col("b").alias("dst")
     ).persist()
     verts = (
@@ -1412,7 +1429,9 @@ def q_dedup_simhash(spark, sf_dir):
     from sharetrace_giraph_spark.operators.dedup import simhash_near_duplicates
 
     d = _t(spark, sf_dir, "documents")
-    return simhash_near_duplicates(d).orderBy("a", "b")
+    return simhash_near_duplicates(
+        d, max_bucket_size=LSH_MAX_BUCKET, log_dropped=True
+    ).orderBy("a", "b")
 
 
 def q_sim_topk_bruteforce(spark, sf_dir):
@@ -2013,11 +2032,13 @@ def _risk_prop_oracle(supersteps: int = 5, rate: float = 0.8) -> str:
     """
 
 
-def _simhash_oracle(prefix_bits: int = 16, max_hamming: int = 3) -> str:
+def _simhash_oracle(prefix_bits: int = 16, max_hamming: int = 3,
+                    max_bucket_size: int | None = None) -> str:
     """Replays operators/dedup.simhash_signatures bit-for-bit: 60-bit
     token hash = first 15 md5 hex chars, per-bit majority vote as 60
-    sum((h >> b) & 1) aggregates, prefix-bucketed self-join, Hamming
-    verify via bit_count(xor)."""
+    sum((h >> b) & 1) aggregates, prefix-bucketed self-join (with the
+    engine's max_bucket_size skew guard replayed), Hamming verify via
+    bit_count(xor)."""
     from sharetrace_giraph_spark.operators.dedup import SIMHASH_BITS
 
     vote_cols = ",\n               ".join(
@@ -2044,8 +2065,13 @@ def _simhash_oracle(prefix_bits: int = 16, max_hamming: int = 3) -> str:
             SELECT doc_id,
                    CAST({assemble} AS BIGINT) AS sh
             FROM votes
-        ), bk AS (
+        ), bk0 AS (
             SELECT doc_id, sh, sh >> {SIMHASH_BITS - prefix_bits} AS bucket FROM sig
+        ), bksz AS (
+            SELECT bucket, count(*) AS bucket_n FROM bk0 GROUP BY bucket
+        ), bk AS (
+            SELECT bk0.* FROM bk0 JOIN bksz USING (bucket)
+            WHERE bucket_n <= {max_bucket_size if max_bucket_size is not None else 2**62}
         )
         SELECT a, b, hamming FROM (
             SELECT l.doc_id AS a, r.doc_id AS b,
@@ -2056,9 +2082,11 @@ def _simhash_oracle(prefix_bits: int = 16, max_hamming: int = 3) -> str:
 
 
 # CTE chain replaying the full MinHash→LSH→Jaccard-verify pipeline
-# (shingle → 8 md5 min-hashes → 4 banded buckets → candidate pairs →
-# exact n-gram Jaccard >= 0.2). No leading WITH — callers prepend.
-_MINHASH_CTES = """
+# (shingle → 8 md5 min-hashes → 4 banded buckets → bucket-size cap →
+# candidate pairs → exact n-gram Jaccard >= 0.2). The bksz/bkc stage
+# replays the engine's max_bucket_size=LSH_MAX_BUCKET skew guard
+# bit-for-bit. No leading WITH — callers prepend.
+_MINHASH_CTES = f"""
     g AS (
         SELECT doc_id,
                CASE WHEN len(toks) >= 3 THEN
@@ -2083,9 +2111,15 @@ _MINHASH_CTES = """
         UNION ALL SELECT doc_id, 1, md5(concat_ws('|', mh2, mh3)) FROM sig
         UNION ALL SELECT doc_id, 2, md5(concat_ws('|', mh4, mh5)) FROM sig
         UNION ALL SELECT doc_id, 3, md5(concat_ws('|', mh6, mh7)) FROM sig
+    ), bksz AS (
+        SELECT band, key, count(*) AS bucket_n FROM bk GROUP BY band, key
+    ), bkc AS (
+        SELECT bk.doc_id, bk.band, bk.key
+        FROM bk JOIN bksz USING (band, key)
+        WHERE bucket_n <= {LSH_MAX_BUCKET}
     ), cand AS (
         SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-        FROM bk l JOIN bk r
+        FROM bkc l JOIN bkc r
           ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
     ), verified AS (
         SELECT a, b, jaccard FROM (
@@ -2887,7 +2921,7 @@ def oracle_sql() -> dict[str, str]:
                       ORDER BY score DESC, term ASC) AS rank FROM s)
             WHERE rank <= 3 ORDER BY doc_id, rank
         """,
-        "dedup_simhash": _simhash_oracle(),
+        "dedup_simhash": _simhash_oracle(max_bucket_size=LSH_MAX_BUCKET),
         "embedding_near_dup": _EMBEDDING_NEAR_DUP_ORACLE,
         "expiry_filter": """
             SELECT l_returnflag,

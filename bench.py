@@ -10,6 +10,13 @@ plus graph-throughput fields (supersteps_per_sec, edges_per_sec) — the
 BASELINE.json target metric for PageRank+CC over the transcript-derived
 edge table.
 
+Noise protocol (round 3, frozen query set unchanged): the set is run
+--runs times (default 3) in one session; "queries"/"value" report the
+per-query MIN (quiet-host estimate), "queries_mean"/"run_totals" the
+noise band, and "loadavg_start"/"loadavg_end"/"load_warning" record host
+co-tenancy so any run can be adjudicated after the fact (r02's 269 s vs
+90 s ambiguity is what this fixes).
+
 --scaling mode: runs the identical graph job at local[1], local[4],
 local[8], and local[32] (separate subprocesses, so each gets a fresh JVM)
 on the SAME synthetic input with pinned 32-way partitioning and reports
@@ -67,7 +74,7 @@ def build_graph(spark, sf: float, num_partitions: int):
     return t, contacts, verts, enc
 
 
-def run_graph_bench(spark, sf: float, cores: int, ckpt: str) -> dict:
+def run_graph_bench(spark, sf: float, cores: int, ckpt: str, run_idx: int = 0) -> dict:
     from sharetrace_giraph_spark.algorithms import connected_components, pagerank, triangles
     from sharetrace_giraph_spark.operators import edges as E
 
@@ -86,7 +93,7 @@ def run_graph_bench(spark, sf: float, cores: int, ckpt: str) -> dict:
     # checkpoint_every=2 matches the scaling protocol (BASELINE.md): durable
     # checkpoint every other superstep, in-memory lineage truncation between
     pr = pagerank(
-        spark, und, verts, ckpt, run_id="bench-pr",
+        spark, und, verts, ckpt, run_id=f"bench-pr-{run_idx}",
         tolerance=0.0, max_supersteps=PR_SUPERSTEPS, resume=False,
         checkpoint_every=2,
     )
@@ -97,8 +104,8 @@ def run_graph_bench(spark, sf: float, cores: int, ckpt: str) -> dict:
 
     t0 = time.monotonic()
     cc = connected_components(
-        spark, und, verts, ckpt, run_id="bench-cc", max_supersteps=30, resume=False,
-        checkpoint_every=2,
+        spark, und, verts, ckpt, run_id=f"bench-cc-{run_idx}", max_supersteps=30,
+        resume=False, checkpoint_every=2,
     )
     cc_s = time.monotonic() - t0
     out["connected_components"] = round(cc_s, 3)
@@ -113,6 +120,7 @@ def run_graph_bench(spark, sf: float, cores: int, ckpt: str) -> dict:
     out["_n_triangles"] = total
 
     und.unpersist()
+    contacts.unpersist()
     return out
 
 
@@ -226,6 +234,9 @@ def main() -> None:
                          "supersteps truncate lineage via in-memory persist)")
     ap.add_argument("--scaling", action="store_true",
                     help="run at local[1]/local[4]/local[8]/local[32], write BENCH.md")
+    ap.add_argument("--runs", type=int, default=3,
+                    help="repeat the frozen query set N times and report per-query "
+                         "MIN (headline) + mean; co-tenant-noise protocol, see BENCH.md")
     args = ap.parse_args()
 
     if args.scaling:
@@ -241,33 +252,59 @@ def main() -> None:
     )
     sf = _sf_of(args.sf_dir)
     ckpt = tempfile.mkdtemp(prefix="bench-ckpt-")
-    try:
-        queries: dict = {}
-        if args.edges_bench:
-            queries.update(
-                run_edges_bench(spark, args.cores, args.n_edges, ckpt, args.partitions,
-                                checkpoint_every=args.checkpoint_every)
-            )
-        else:
-            queries.update(run_graph_bench(spark, sf, args.cores, ckpt))
-            if not args.graph_only:
-                queries.update(run_relational_bench(spark, args.sf_dir))
-        public = {k: v for k, v in queries.items() if not k.startswith("_")}
-        meta = {k[1:]: v for k, v in queries.items() if k.startswith("_")}
-        total = round(sum(public.values()), 3)
+    # co-tenant-noise protocol (BENCH.md): record host load so any run can
+    # be adjudicated after the fact, warn loudly when the box is busy, and
+    # take best-of-N per query — MIN is the quiet-host number, mean shows
+    # the noise band. Query set itself is FROZEN (unchanged since r01).
+    load_start = os.getloadavg()
+    if load_start[0] > 1.0:
         print(
-            json.dumps(
-                {
-                    "metric": "headline_queries_total_wall",
-                    "value": total,
-                    "unit": "sec",
-                    "queries": public,
-                    "sf": sf,
-                    "cores": args.cores,
-                    **meta,
-                }
-            )
+            f"WARNING: 1-min loadavg {load_start[0]:.2f} > 1 at bench start — "
+            "co-tenant load will inflate walls; numbers are suspect",
+            file=sys.stderr,
         )
+    try:
+        if args.edges_bench:
+            queries = run_edges_bench(
+                spark, args.cores, args.n_edges, ckpt, args.partitions,
+                checkpoint_every=args.checkpoint_every,
+            )
+            public = {k: v for k, v in queries.items() if not k.startswith("_")}
+            meta = {k[1:]: v for k, v in queries.items() if k.startswith("_")}
+            q_min, q_mean, run_walls = public, None, None
+        else:
+            per_run: list[dict] = []
+            meta = {}
+            for run_idx in range(max(1, args.runs)):
+                q: dict = dict(run_graph_bench(spark, sf, args.cores, ckpt, run_idx))
+                if not args.graph_only:
+                    q.update(run_relational_bench(spark, args.sf_dir))
+                meta.update({k[1:]: v for k, v in q.items() if k.startswith("_")})
+                per_run.append({k: v for k, v in q.items() if not k.startswith("_")})
+            q_min = {k: min(r[k] for r in per_run) for k in per_run[0]}
+            q_mean = {
+                k: round(sum(r[k] for r in per_run) / len(per_run), 3)
+                for k in per_run[0]
+            }
+            run_walls = [round(sum(r.values()), 3) for r in per_run]
+        total = round(sum(q_min.values()), 3)
+        out = {
+            "metric": "headline_queries_total_wall",
+            "value": total,
+            "unit": "sec",
+            "queries": q_min,
+            "sf": sf,
+            "cores": args.cores,
+            "n_runs": len(run_walls) if run_walls else 1,
+            "loadavg_start": [round(x, 2) for x in load_start],
+            "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+            "load_warning": load_start[0] > 1.0,
+            **meta,
+        }
+        if run_walls:
+            out["queries_mean"] = q_mean
+            out["run_totals"] = run_walls
+        print(json.dumps(out))
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
 

@@ -248,3 +248,53 @@ def test_resize_media_stride_rule(spark, docs):
         got = out[r.doc_id]
         assert got.out_bytes == len(sub) <= 96
         assert got.out_md5 == hashlib.md5(sub).hexdigest()
+
+
+def test_capped_composition_bounds_pairs_and_keeps_recall(spark, docs):
+    """The DRIVER-path composition (minhash_near_duplicates with
+    max_bucket_size, as q_dedup_minhash_lsh / _near_clusters / _keep_best
+    call it): a planted giant duplicate cluster must not blow up candidate
+    generation — total LSH candidates stay <= n_buckets * cap*(cap-1)/2 —
+    while every non-pathological near-dup pair is still recalled exactly
+    as without the cap."""
+    cap = 10
+    # giant-cluster text is DISJOINT from the corpus vocabulary: the cap
+    # must only evict the pathological buckets, not any original doc
+    giant_text = " ".join(f"zqx{i} wvb{i} jkp{i}" for i in range(8))
+    giant = (
+        spark.range(60)
+        .select(
+            (F.col("id") + 700000).cast("long").alias("doc_id"),
+            F.lit(giant_text).alias("text"),
+        )
+    )
+    corpus = docs.select("doc_id", "text").union(giant)
+
+    sigs = dedup.minhash_signatures(corpus)
+    n_buckets = (
+        dedup.lsh_band_stats(sigs)
+        .where(F.col("bucket_n").between(2, cap))
+        .count()
+    )
+    capped_cand = dedup.lsh_candidate_pairs(sigs, max_bucket_size=cap)
+    assert capped_cand.count() <= n_buckets * cap * (cap - 1) // 2
+
+    # recall: the verified pairs among ORIGINAL docs are identical with and
+    # without the cap (the giant cluster lives in its own oversized buckets)
+    base = {
+        (r.a, r.b)
+        for r in dedup.minhash_near_duplicates(docs, threshold=0.2).collect()
+    }
+    capped = {
+        (r.a, r.b)
+        for r in dedup.minhash_near_duplicates(
+            corpus, threshold=0.2, max_bucket_size=cap, log_dropped=True
+        ).collect()
+        if r.a < 700000 and r.b < 700000
+    }
+    assert capped == base
+    # and the giant cluster's quadratic pair set is gone entirely
+    giant_pairs = dedup.minhash_near_duplicates(
+        corpus, threshold=0.2, max_bucket_size=cap
+    ).where((F.col("a") >= 700000) & (F.col("b") >= 700000))
+    assert giant_pairs.count() == 0
