@@ -41,6 +41,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from ..operators.skew import hub_vertices
 from ..plans.superstep import SuperstepDriver, SuperstepResult, prepare_edges
 
 
@@ -56,17 +57,51 @@ def neighborhood_function(
     num_partitions: int | None = None,
     resume: bool = True,
     checkpoint_every: int = 1,
+    salt_threshold: int | None = None,
+    salts: int = 16,
 ) -> SuperstepResult:
     """Returns state ``(vertex_id, hist, delta)`` (+ ``reached`` array for
     exact, ``sk`` sketch for hll); ``hist[r]`` = NF(vertex, r) — exact
     count or HLL estimate — for r = 0..radius reached. Supersteps run =
-    radii computed (early-halt when every ball stops growing)."""
+    radii computed (early-halt when every ball stops growing).
+
+    ``salt_threshold`` extends the engine-wide skew hook (operators/skew)
+    to the ball-union gather: a hub vertex receives deg(hub) reached-sets
+    /sketches on one reducer each superstep. Hub keys merge in two levels
+    (per-salt partials, then a merge of ≤ ``salts`` partials); both merge
+    operators are decomposable set unions — HLL union-of-unions and
+    array-distinct-of-concats — so results are identical (test: salted ≡
+    unsalted)."""
     if method not in ("exact", "hll"):
         raise ValueError(f"method must be 'exact' or 'hll', got {method!r}")
     e, num_partitions = prepare_edges(
         spark, edges.select("src", "dst"), "src", num_partitions
     )
     verts = vertices.select("vertex_id")
+
+    hubs = None
+    if salt_threshold is not None:
+        hubs = hub_vertices(e, salt_threshold, "in").persist()
+        hubs.count()
+
+    def _salted(allm: DataFrame, lvl1_aggs, lvl2_aggs) -> DataFrame:
+        """Two-level grouped merge with hub keys spread over ``salts``
+        sub-keys. ``hist`` rides along via any_value(ignoreNulls): exactly
+        one non-null per vertex (the self row), preserved through both
+        levels. Salt source = a well-distributed row hash (any split of a
+        set union yields the same union)."""
+        tagged = allm.join(
+            F.broadcast(hubs.withColumn("_is_hub", F.lit(True))),
+            "vertex_id",
+            "left",
+        ).withColumn(
+            "_salt",
+            F.when(
+                F.col("_is_hub"), F.pmod(F.monotonically_increasing_id(), F.lit(salts))
+            ).otherwise(F.lit(0)),
+        )
+        partial = tagged.groupBy("vertex_id", "_salt").agg(*lvl1_aggs)
+        return partial.groupBy("vertex_id").agg(*lvl2_aggs)
 
     if method == "exact":
         init = verts.select(
@@ -84,13 +119,17 @@ def neighborhood_function(
                 F.lit(None).cast(state.schema["hist"].dataType).alias("hist"),
             )
             allm = state.select("vertex_id", "reached", "hist").unionByName(msgs)
-            agg = allm.groupBy("vertex_id").agg(
+            merge = lambda: [  # noqa: E731 — same merge at both levels
                 F.array_sort(
                     F.array_distinct(F.flatten(F.collect_list("reached")))
                 ).alias("reached"),
                 # exactly one non-null hist per group (the self row)
                 F.any_value("hist", True).alias("hist"),
-            )
+            ]
+            if hubs is not None:
+                agg = _salted(allm, merge(), merge())
+            else:
+                agg = allm.groupBy("vertex_id").agg(*merge())
             n = F.size("reached").cast("long")
             return agg.select(
                 "vertex_id",
@@ -117,10 +156,14 @@ def neighborhood_function(
                 F.lit(None).cast(state.schema["hist"].dataType).alias("hist"),
             )
             allm = state.select("vertex_id", "sk", "hist").unionByName(msgs)
-            agg = allm.groupBy("vertex_id").agg(
+            merge = lambda: [  # noqa: E731 — same merge at both levels
                 F.hll_union_agg("sk").alias("sk"),
                 F.any_value("hist", True).alias("hist"),
-            )
+            ]
+            if hubs is not None:
+                agg = _salted(allm, merge(), merge())
+            else:
+                agg = allm.groupBy("vertex_id").agg(*merge())
             est = F.hll_sketch_estimate("sk")
             return agg.select(
                 "vertex_id",
@@ -132,13 +175,16 @@ def neighborhood_function(
     driver = SuperstepDriver(
         spark, checkpoint_dir, run_id, f"neighborhood_{method}", num_partitions
     )
-    return driver.run(
+    res = driver.run(
         init,
         step,
         max_supersteps=max_radius,
         resume=resume,
         checkpoint_every=checkpoint_every,
     )
+    if hubs is not None:
+        hubs.unpersist()
+    return res
 
 
 def nf_long(state: DataFrame) -> DataFrame:

@@ -43,6 +43,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from ..operators.skew import hub_vertices
 from ..plans.superstep import SuperstepDriver, SuperstepResult, prepare_edges
 
 
@@ -73,18 +74,33 @@ def random_walks(
     num_partitions: int | None = None,
     resume: bool = True,
     checkpoint_every: int = 1,
+    salt_threshold: int | None = None,
+    salts: int = 16,
 ) -> SuperstepResult:
     """``edges``: canonical undirected (src < dst, one row per pair; string
     or numeric vertex ids). Starts one walk batch at every vertex that has
     at least one edge. Returns state ``(start, widx, cur, path, delta)``
     where ``path`` is the walk (length ``walk_length + 1``, starting at
     ``start``); explode with ``posexplode(path)`` for the long-format
-    corpus."""
+    corpus.
+
+    ``salt_threshold`` extends the engine-wide skew hook (operators/skew)
+    to the frontier argmin: a walk sitting on a hub generates deg(hub)
+    candidate rows under ONE (start, widx) key. Walks whose current vertex
+    is a hub take the min in two levels (per-salt-of-candidate partials,
+    then ≤ ``salts`` rows per walk); min-of-mins is the min and the keyed
+    hash breaks ties collision-free, so the corpus is bit-identical
+    (test: salted ≡ unsalted)."""
     canon = edges.select("src", "dst")
     und = canon.unionByName(
         canon.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     e, num_partitions = prepare_edges(spark, und, "src", num_partitions)
+
+    hubs = None
+    if salt_threshold is not None:
+        hubs = hub_vertices(e, salt_threshold, "in").persist()
+        hubs.count()
 
     starts = e.select(F.col("src").alias("start")).distinct()
     init = starts.select(
@@ -105,17 +121,40 @@ def random_walks(
         frontier = st.join(ed, F.col("st.cur") == F.col("ed.src")).select(
             F.col("st.start").alias("start"),
             F.col("st.widx").alias("widx"),
+            F.col("st.cur").alias("cur"),
             F.col("st.path").alias("path"),
             F.col("ed.dst").alias("dst"),
         )
-        nxt = frontier.groupBy("start", "widx").agg(
-            F.min(
-                F.struct(walk_rank(seed, k).alias("r"), F.col("dst").alias("nbr"))
-            ).alias("m"),
-            # constant within the group (one path per walk) — any_value is
-            # deterministic here and avoids a join back to state
-            F.any_value("path").alias("path"),
-        )
+        cand = F.min(
+            F.struct(walk_rank(seed, k).alias("r"), F.col("dst").alias("nbr"))
+        ).alias("m")
+        if hubs is not None:
+            tagged = frontier.join(
+                F.broadcast(
+                    hubs.select(F.col("vertex_id").alias("cur"))
+                    .withColumn("_is_hub", F.lit(True))
+                ),
+                "cur",
+                "left",
+            ).withColumn(
+                "_salt",
+                F.when(
+                    F.col("_is_hub"), F.pmod(F.xxhash64(F.col("dst")), F.lit(salts))
+                ).otherwise(F.lit(0)),
+            )
+            partial = tagged.groupBy("start", "widx", "_salt").agg(
+                cand, F.any_value("path").alias("path")
+            )
+            nxt = partial.groupBy("start", "widx").agg(
+                F.min("m").alias("m"), F.any_value("path").alias("path")
+            )
+        else:
+            nxt = frontier.groupBy("start", "widx").agg(
+                cand,
+                # constant within the group (one path per walk) — any_value
+                # is deterministic here and avoids a join back to state
+                F.any_value("path").alias("path"),
+            )
         done = k >= walk_length - 1
         return nxt.select(
             "start",
@@ -128,13 +167,16 @@ def random_walks(
     driver = SuperstepDriver(
         spark, checkpoint_dir, run_id, "random_walks", num_partitions
     )
-    return driver.run(
+    res = driver.run(
         init,
         step,
         max_supersteps=walk_length,
         resume=resume,
         checkpoint_every=checkpoint_every,
     )
+    if hubs is not None:
+        hubs.unpersist()
+    return res
 
 
 def walks_to_corpus(state: DataFrame) -> DataFrame:

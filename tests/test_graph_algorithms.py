@@ -746,3 +746,58 @@ def test_effective_diameter_hll_tolerance(spark, ckpt):
         e = exact_tot[min(r, n_radii - 1)]
         assert abs(got_tot[r] - e) <= max(2, 0.4 * e), (r, got_tot[r], e)
     assert abs(eff_diam(got_tot) - eff_diam(exact_tot)) <= 1
+
+
+def test_k_truss_salted_matches_unsalted(spark, medium_graph, ckpt):
+    """Salted per-edge support counting (two-level COUNT with hub-edge
+    corners spread over salts) must not change the surviving edge set —
+    mirrors test_k_core_salted_matches_unsalted for the edge-keyed agg."""
+    from sharetrace_giraph_spark.algorithms import k_truss
+
+    _, verts, enc, edge_list = medium_graph
+    base = k_truss(spark, enc.select("src", "dst"), k=4, checkpoint_dir=ckpt,
+                   run_id="kts-b", resume=False)
+    salted = k_truss(spark, enc.select("src", "dst"), k=4, checkpoint_dir=ckpt,
+                     run_id="kts-s", resume=False, salt_threshold=5, salts=4)
+    b = {(r.src, r.dst, r.alive) for r in base.state.collect()}
+    s = {(r.src, r.dst, r.alive) for r in salted.state.collect()}
+    assert b == s
+    assert base.supersteps_run == salted.supersteps_run
+
+
+def test_neighborhood_salted_matches_unsalted(spark, medium_graph, ckpt):
+    """Salted ball-union gather (two-level array-distinct merge / HLL
+    union-of-unions) must be bit-identical for both representations."""
+    from sharetrace_giraph_spark.algorithms import neighborhood_function
+    from sharetrace_giraph_spark.operators.edges import undirect
+
+    _, verts, enc, edge_list = medium_graph
+    und = undirect(enc.select("src", "dst"))
+    for method in ("exact", "hll"):
+        base = neighborhood_function(spark, und, verts, max_radius=3,
+                                     checkpoint_dir=ckpt, method=method,
+                                     run_id=f"nfs-b-{method}", resume=False)
+        salted = neighborhood_function(spark, und, verts, max_radius=3,
+                                       checkpoint_dir=ckpt, method=method,
+                                       run_id=f"nfs-s-{method}", resume=False,
+                                       salt_threshold=5, salts=4)
+        b = {r.vertex_id: list(r.hist) for r in base.state.collect()}
+        s = {r.vertex_id: list(r.hist) for r in salted.state.collect()}
+        assert b == s, method
+
+
+def test_random_walks_salted_matches_unsalted(spark, ckpt):
+    """Salted frontier argmin (two-level keyed-hash min) must emit the
+    bit-identical corpus — a planted hub makes the salt branch real."""
+    from sharetrace_giraph_spark.algorithms import random_walks
+
+    hub = [("h", f"v{i}") for i in range(12)]
+    ring = [(f"v{i}", f"v{(i + 1) % 12}") for i in range(12)]
+    edges = spark.createDataFrame(sorted(set(hub + ring)), "src string, dst string")
+    base = random_walks(spark, edges, ckpt, num_walks=2, walk_length=4,
+                        run_id="rws-b", resume=False)
+    salted = random_walks(spark, edges, ckpt, num_walks=2, walk_length=4,
+                          run_id="rws-s", resume=False, salt_threshold=5, salts=4)
+    b = {(r.start, r.widx): list(r.path) for r in base.state.collect()}
+    s = {(r.start, r.widx): list(r.path) for r in salted.state.collect()}
+    assert b == s
