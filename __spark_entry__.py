@@ -2298,7 +2298,10 @@ def _ktruss_oracle(rounds: int = 30) -> str:
     it needn't mirror the engine's degree-ordered wedge internals) and
     keeps edges with support >= k-2. Rounds past the fixed point are
     idempotent; if it is NOT reached in 30, both sides stop after exactly
-    30 synchronous peels. k = ceil(0.75 * V), matching q_graph_ktruss."""
+    30 synchronous peels. k = ceil(0.75 * V), matching q_graph_ktruss.
+    The survivor join is LEFT with coalesce(sup, 0) so zero-support edges
+    follow the engine's coalesce(sup,0) >= k-2 rule at ANY k — an inner
+    join would wrongly delete them when k <= 2."""
     steps = []
     for r in range(1, rounds + 1):
         steps.append(f"""
@@ -2317,8 +2320,8 @@ def _ktruss_oracle(rounds: int = 30) -> str:
     ),
     t{r} AS MATERIALIZED (
         SELECT e.src, e.dst FROM t{r - 1} e
-        JOIN sup{r} s ON s.s = e.src AND s.d = e.dst
-        WHERE s.sup >= (SELECT k FROM kk) - 2
+        LEFT JOIN sup{r} s ON s.s = e.src AND s.d = e.dst
+        WHERE coalesce(s.sup, 0) >= (SELECT k FROM kk) - 2
     )""")
     return f"""
         WITH {_EDGE_CTES},
@@ -2336,10 +2339,10 @@ def _ktruss_oracle(rounds: int = 30) -> str:
 
 #: per-vertex neighborhood function NF(v, r), r = 0..3: bounded all-pairs
 #: min-distance via a recursive CTE, then one count per (vertex, radius).
-#: The engine runs exactly min(max_radius, D_max+1) = 3 rounds here (the
-#: sf0.01 contact graph saturates at radius 2; the no-growth round still
-#: appends its saturated count before the halt), so both sides emit radii
-#: 0..3 — verified non-vacuous: radius-1 counts range 117..150, not flat.
+#: The engine's hist is STRUCTURALLY max_radius+1 entries (early-halt
+#: rounds pad with the saturated count — NF is constant past saturation),
+#: so both sides emit radii 0..3 at ANY data shape, not just the current
+#: sf0.01 saturation radius. Non-vacuous: radius-1 counts range 117..150.
 #: strength = Σ incident edge weights; the weight CTE is the proven
 #: duration_ms + 1 replay shared with the weighted-PPR/SSSP/LPA oracles
 #: (dedup rows ≡ the engine's occurrences array, sum(dur_s)*1000 exact).
@@ -3163,13 +3166,13 @@ def oracle_sql() -> dict[str, str]:
                        len(list_filter(toks, x -> lower(x) IN ('le','la','et','les','des'))) AS n_fr
                 FROM t
             )
-            -- struct-greatest semantics: argmax by (hits, lang), ties go to
-            -- the lexicographically LARGER language name (fr > en > de)
+            -- engine tie convention: argmax by hits, ties to the
+            -- lexicographically SMALLEST language (de < en < fr)
             SELECT doc_id,
                    CASE WHEN greatest(n_de, n_en, n_fr) = 0 THEN 'und'
-                        WHEN n_fr >= n_en AND n_fr >= n_de THEN 'fr'
-                        WHEN n_en >= n_de THEN 'en'
-                        ELSE 'de' END AS lang_pred,
+                        WHEN n_de >= n_en AND n_de >= n_fr THEN 'de'
+                        WHEN n_en >= n_fr THEN 'en'
+                        ELSE 'fr' END AS lang_pred,
                    CAST(greatest(n_de, n_en, n_fr) AS INT) AS stopword_hits
             FROM v ORDER BY doc_id
         """,

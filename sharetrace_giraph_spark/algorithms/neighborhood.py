@@ -184,6 +184,16 @@ def neighborhood_function(
     )
     if hubs is not None:
         hubs.unpersist()
+    # structural contract: hist ALWAYS has max_radius+1 entries. On early
+    # halt (every ball saturated) the remaining radii repeat the saturated
+    # count — NF is constant past saturation by definition — so consumers
+    # (nf_long, effective-diameter folds, fixed-range oracles) never
+    # depend on the data-dependent halt round. Padding is a projection on
+    # the returned frame only; checkpointed state stays as-written.
+    pad_n = F.lit(max_radius + 1) - F.size("hist")
+    res.state = res.state.withColumn(
+        "hist", F.concat("hist", F.array_repeat(F.element_at("hist", -1), pad_n))
+    )
     return res
 
 

@@ -23,8 +23,12 @@ variable update:
   - A3  per-vertex delta = |max(incoming).value - max(local).value|
         (`:112-117`); vertices with no incoming have delta 0 (the
         reference injects a 0.0 default score instead, A1 defaults at
-        `:56-58` — divergence documented: defaults only inflate deltas,
-        never change the final max).
+        `:56-58` — divergence documented AND proven output-neutral:
+        tests/test_risk_propagation.py::
+        test_no_incoming_default_divergence_is_output_neutral replays the
+        default-injecting variant side-by-side on both no-incoming shapes
+        — an isolated vertex and a late-score-only neighbor — and the
+        final max matches the engine's exactly).
 
 Convergence: sum of deltas < 1e-5 or 5 iterations
 (``MasterComputer.java:24``, ``BPContext.java:13``) via the checkpointed

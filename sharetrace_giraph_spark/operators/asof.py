@@ -50,9 +50,23 @@ def asof_join(
     ``{prefix}{c}`` column holding the matched quote's value (null when
     the key has no quote at-or-before the probe time), plus
     ``{prefix}ts`` with the matched quote's timestamp.
+
+    The internal union/window plumbing reserves the column names ``_ts``,
+    ``_quote``, ``_side``, ``_q``, ``_qts``, ``_qv``, ``_m``; inputs that
+    already contain one are rejected (ValueError) rather than silently
+    corrupted.
     """
     keys = [on] if isinstance(on, str) else list(on)
     vals = list(value_cols)
+
+    reserved = {"_ts", "_quote", "_side", "_q", "_qts", "_qv", "_m"}
+    for side, df in (("left", left), ("right", right)):
+        clash = reserved.intersection(df.columns)
+        if clash:
+            raise ValueError(
+                f"asof_join: {side} frame uses reserved internal column "
+                f"name(s) {sorted(clash)}; rename them before joining"
+            )
 
     # one quote per (key, ts): max over the value struct — deterministic
     # regardless of input order/partitioning

@@ -107,11 +107,19 @@ def salted_min(
 
 
 def degree_assortativity(edges: DataFrame) -> DataFrame:
-    """One-row degree-mixing statistic over a DIRECTED edge list (pass the
-    both-ways union for undirected semantics): Pearson correlation of
-    (deg(src), deg(dst)) across edges — Newman's assortativity
+    """One-row degree-mixing statistic over an UNDIRECTED edge list given
+    as its both-ways union (every {u,v} present as BOTH (u,v) and (v,u) —
+    ``operators.edges.undirect`` output): Pearson correlation of
+    (deg(src), deg(dst)) across directed rows — Newman's assortativity
     coefficient, the standard "do hubs link to hubs?" skew diagnostic
     that informs the salting threshold.
+
+    CONTRACT: both-ways input only. The census counts out-degree, which
+    equals the undirected degree exactly when every edge appears in both
+    directions; on a one-way directed list, sink vertices (out-degree 0)
+    would be silently dropped by the inner joins and ``dy`` would need
+    in-degree for the standard directed coefficient — use a dedicated
+    directed variant for that, not this function.
 
     Two degree joins + one global aggregate. All moment sums are exact
     BIGINT arithmetic over integer degrees; the only float ops are the

@@ -83,20 +83,19 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     'und' when nothing matches."""
     t = tokens(text_col)
     votes = []
-    for lang in sorted(LANG_STOPWORDS):
+    # engine-wide tie convention (same as LPA's label ties): max hits,
+    # tie-break to the lexicographically SMALLEST language. Encoded for
+    # struct-greatest by a negated rank field: max(n, -rank) = max hits,
+    # then min rank = first language in sorted order.
+    for i, lang in enumerate(sorted(LANG_STOPWORDS)):
         lex = F.array(*[F.lit(s) for s in LANG_STOPWORDS[lang]])
         votes.append(
             F.struct(
                 F.size(F.filter(t, lambda x: F.array_contains(lex, F.lower(x)))).alias("n"),
+                F.lit(-i).alias("nr"),
                 F.lit(lang).alias("lang"),
             )
         )
-    # max over (n, lang-reversed) — we want max n, tie-break min lang:
-    # compare on (n, negated lang) is not expressible; instead sort langs
-    # descending so that on equal n the FIRST (max struct) is the smallest
-    # lang name... struct max picks lexicographically larger lang on ties,
-    # so iterate sorted() and rely on strictly-larger n to win; ties go to
-    # the lexicographically largest language — documented, deterministic.
     best = F.greatest(*votes) if len(votes) > 1 else votes[0]
     return df.select(
         id_col,

@@ -358,9 +358,11 @@ def random_walks_py(edges, num_walks, walk_length, seed="rw"):
 
 def neighborhood_py(edges, max_radius):
     """Engine-mirroring neighborhood function: synchronous ball unions up
-    to max_radius rounds, halting early after one no-growth round (which
-    still appends its saturated count — the driver's halt-after-check).
-    Returns {vertex: [NF(v, 0), NF(v, 1), ...]} over vertices of edges."""
+    to max_radius rounds, halting early after one no-growth round; the
+    hist is then padded to max_radius+1 entries by repeating the saturated
+    count (NF is constant past saturation), matching the engine's
+    structural always-max_radius+1 contract.
+    Returns {vertex: [NF(v, 0), ..., NF(v, max_radius)]}."""
     adj = defaultdict(set)
     for u, v in edges:
         adj[u].add(v)
@@ -376,6 +378,8 @@ def neighborhood_py(edges, max_radius):
             hist[v].append(len(balls[v]))
         if not grew:
             break
+    for v in adj:
+        hist[v] += [hist[v][-1]] * (max_radius + 1 - len(hist[v]))
     return hist
 
 

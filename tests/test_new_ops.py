@@ -242,3 +242,41 @@ def test_pagerank_dangling_mass_golden(spark, ckpt):
     # down the chain; the isolated vertex matches the chain head)
     assert got[2] > got[1] > got[0]
     assert abs(got[0] - got[3]) < 1e-9
+
+
+def test_lang_id_tie_breaks_to_smallest_language(spark):
+    """Engine-wide tie convention (same as LPA): max stopword hits, ties
+    to the lexicographically SMALLEST language; 'und' only on zero hits."""
+    from sharetrace_giraph_spark.operators.text import lang_id
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the der x"),      # en 1 vs de 1 -> tie -> de (de < en)
+            (2, "le der x"),       # fr 1 vs de 1 -> de
+            (3, "the le x"),       # en 1 vs fr 1 -> en
+            (4, "the the der x"),  # en 2 beats de 1 -> en
+            (5, "xyzzy plugh"),    # no hits -> und
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.lang_pred, r.stopword_hits) for r in lang_id(docs).collect()}
+    assert got == {
+        1: ("de", 1), 2: ("de", 1), 3: ("en", 1), 4: ("en", 2), 5: ("und", 0)
+    }
+
+
+def test_asof_join_rejects_reserved_columns(spark):
+    """Inputs carrying the operator's internal column names must raise
+    instead of silently corrupting the union/window plumbing."""
+    import pytest as _pytest
+
+    from sharetrace_giraph_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 10, 5)], "k long, ts long, _side long")
+    right = spark.createDataFrame([(1, 9, 1.0)], "k long, ts long, value double")
+    with _pytest.raises(ValueError, match="reserved"):
+        asof_join(left, right, on="k")
+    left_ok = spark.createDataFrame([(1, 10)], "k long, ts long")
+    right_bad = spark.createDataFrame([(1, 9, 1.0)], "k long, ts long, _quote double")
+    with _pytest.raises(ValueError, match="reserved"):
+        asof_join(left_ok, right_bad, on="k")

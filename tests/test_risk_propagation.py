@@ -175,3 +175,91 @@ def test_risk_prop_driver_scale_invariants(spark, ckpt):
     assert all(m["messages"] > 0 for m in res.metrics)
     contacts.unpersist()
     scores.unpersist()
+
+
+def test_no_incoming_default_divergence_is_output_neutral(spark, ckpt):
+    """The documented divergence (risk_propagation.py module docstring,
+    A3): the reference injects a 0.0 default score for vertices with no
+    incoming messages (VariableVertexComputation.java:56-58), while the
+    engine gives them delta 0 and an unchanged score set. This fixture
+    PROVES the final max is unaffected on both no-incoming shapes:
+
+    - ``c`` is isolated (no contacts at all);
+    - ``e``'s only neighbor ``d`` has only a LATE score (update_time >=
+      the contact cutoff), so F3 filters everything and ``e`` never
+      receives a message.
+
+    A side-by-side reference-variant replay WITH the default injection
+    must produce the identical top-1 output for every vertex."""
+    import datetime as dt
+
+    import pyspark.sql.functions as F
+    from collections import defaultdict
+
+    T = dt.datetime(2021, 3, 1)
+
+    def ts(days):
+        return T + dt.timedelta(days=days)
+
+    contacts = spark.createDataFrame(
+        [
+            ("a", "b", [(ts(5), 900_000)]),
+            ("d", "e", [(ts(5), 900_000)]),
+        ],
+        "src string, dst string, "
+        "occurrences array<struct<time: timestamp, duration_ms: long>>",
+    )
+    scores = spark.createDataFrame(
+        [
+            ("a", ts(1), 0.9),   # early, high — propagates to b
+            ("b", ts(2), 0.1),
+            ("c", ts(1), 0.5),   # isolated
+            ("d", ts(9), 0.8),   # LATE: >= cutoff ts(5), F3 filters it
+            ("e", ts(2), 0.2),
+        ],
+        "id string, update_time timestamp, value double",
+    )
+
+    res = risk_propagation(spark, contacts, scores, ckpt, run_id="rp-div",
+                           transmission_rate=0.8)
+    out = {r.vertex_id: (round(r.value, 12), r.update_time)
+           for r in final_scores(res.state).collect()}
+    state = {r.vertex_id: r for r in res.state.collect()}
+
+    # no-incoming vertices: score sets unchanged, final = own initial max
+    assert out["c"] == (0.5, ts(1))
+    assert out["e"] == (0.2, ts(2))
+    assert len(state["c"].scores) == 1 and state["c"].delta == 0.0
+    assert len(state["e"].scores) == 1 and state["e"].delta == 0.0
+    # the live path still propagated: b got a's relayed score
+    assert out["b"] == (round(0.9 * 0.8, 12), ts(1))
+
+    # reference-variant replay WITH the 0.0-default injection (the
+    # reference's A1 defaults): identical output comparator winner
+    edges = [("a", "b", ts(5)), ("b", "a", ts(5)),
+             ("d", "e", ts(5)), ("e", "d", ts(5))]
+    st = {
+        "a": {(ts(1), 0.9, "a")}, "b": {(ts(2), 0.1, "b")},
+        "c": {(ts(1), 0.5, "c")}, "d": {(ts(9), 0.8, "d")},
+        "e": {(ts(2), 0.2, "e")},
+    }
+    for _ in range(5):
+        incoming = defaultdict(set)
+        for u, v, cutoff in edges:
+            cand = [s for s in st[u] if s[2] != v and s[0] < cutoff]
+            if cand:
+                ut, val, origin = max(cand)
+                incoming[v].add((ut, val * 0.8, origin))
+        l1 = 0.0
+        for v in st:  # EVERY vertex, defaults injected on no-incoming
+            inc = incoming.get(v) or {(dt.datetime(1970, 1, 1), 0.0, v)}
+            old = max(st[v])[1] if st[v] else 0.0
+            l1 += abs(max(inc)[1] - old)
+            st[v].update(inc)
+        if l1 < 1e-5:
+            break
+    ref_out = {
+        a: max(ss, key=lambda s: (s[1], s[0], s[2]))[:2][::-1]
+        for a, ss in st.items()
+    }
+    assert {a: (round(v, 12), ut) for a, (v, ut) in ref_out.items()} == out
