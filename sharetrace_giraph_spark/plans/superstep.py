@@ -187,7 +187,13 @@ class SuperstepDriver:
             )
         state.write.mode("overwrite").parquet(path)
         self._append_partition_metrics(superstep, path)
-        return self.spark.read.parquet(path), (obs.get if obs is not None else None)
+        # read back with the known schema: skips the driver-side footer
+        # schema-inference pass — a fixed per-superstep cost that dilutes
+        # scaling efficiency (it is identical wall at every core count)
+        return (
+            self.spark.read.schema(state.schema).parquet(path),
+            (obs.get if obs is not None else None),
+        )
 
     def _persist_state(self, state: DataFrame):
         """Non-durable checkpoint: ``localCheckpoint(eager=True)``.
