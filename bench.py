@@ -309,6 +309,21 @@ def main() -> None:
         shutil.rmtree(ckpt, ignore_errors=True)
 
 
+def _wait_for_quiet(max_load1: float = 0.7, timeout_s: int = 1800) -> float:
+    """Block until the 1-min loadavg drops below ``max_load1`` (or the
+    timeout expires). Same rationale as the best-of-3 / loadavg fields on
+    the headline bench: a scaling ratio measured while a co-tenant burns
+    cores is unadjudicable after the fact (round-2 lesson — the driver's
+    BENCH_r02 ran at load >2 and showed a phantom 3.9x regression).
+    Returns the seconds waited."""
+    t0 = time.time()
+    while time.time() - t0 < timeout_s:
+        if os.getloadavg()[0] < max_load1:
+            break
+        time.sleep(20)
+    return round(time.time() - t0, 1)
+
+
 def run_scaling(n_edges: int) -> None:
     """N vs 4N evidence: the identical superstep job on the identical
     synthetic edge table at local[1], local[4], local[8], and local[32],
@@ -316,9 +331,13 @@ def run_scaling(n_edges: int) -> None:
     Primary pair = 1 -> 4 cores (both levels CPU-bound — the cleanest
     single-box proxy for adding executors); 8 -> 32 is reported as a
     second data point (it saturates the box's shared memory bandwidth —
-    see BENCH.md)."""
+    see BENCH.md). Each level is quiet-gated: the runner waits for the
+    1-min loadavg to drop below 0.7 before launching the level's JVM, and
+    the per-level JSON records loadavg at start/end so contaminated runs
+    are identifiable."""
     results = {}
     for cores in (1, 4, 8, 32):
+        waited = _wait_for_quiet()
         env = dict(os.environ, SPARK_GRAFT_CPUS=str(cores))
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--edges-bench",
@@ -328,6 +347,7 @@ def run_scaling(n_edges: int) -> None:
         )
         line = proc.stdout.strip().splitlines()[-1]
         results[cores] = json.loads(line)
+        results[cores]["quiet_wait_s"] = waited
 
     def eff(lo: int, hi: int, key: str) -> float:
         return round(
