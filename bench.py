@@ -257,6 +257,7 @@ def main() -> None:
     # take best-of-N per query — MIN is the quiet-host number, mean shows
     # the noise band. Query set itself is FROZEN (unchanged since r01).
     load_start = os.getloadavg()
+    steal0, jiff0 = _read_cpu_jiffies()
     if load_start[0] > 1.0:
         print(
             f"WARNING: 1-min loadavg {load_start[0]:.2f} > 1 at bench start — "
@@ -301,12 +302,34 @@ def main() -> None:
             "load_warning": load_start[0] > 1.0,
             **meta,
         }
+        steal1, jiff1 = _read_cpu_jiffies()
+        if jiff1 > jiff0:
+            # % of ALL host cpu-time the hypervisor withheld during the
+            # run — co-tenant VM activity invisible to loadavg
+            out["steal_pct"] = round(100.0 * (steal1 - steal0) / (jiff1 - jiff0), 2)
         if run_walls:
             out["queries_mean"] = q_mean
             out["run_totals"] = run_walls
         print(json.dumps(out))
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def _read_cpu_jiffies() -> tuple[int, int]:
+    """(steal, total) jiffies from the aggregate /proc/stat cpu line.
+
+    Steal is the contamination signal loadavg cannot see on this
+    virtualised box: a co-tenant VM burning the host's physical cores
+    shows up as %st (hypervisor withheld cycles), not as local runnable
+    tasks. Returns (0, 0) when /proc/stat is unreadable (non-Linux)."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        steal = vals[7] if len(vals) > 7 else 0
+        return steal, sum(vals)
+    except (OSError, ValueError, IndexError):
+        return 0, 0
 
 
 def _wait_for_quiet(max_load1: float = 0.7, timeout_s: int = 1800) -> float:
@@ -334,20 +357,48 @@ def run_scaling(n_edges: int) -> None:
     see BENCH.md). Each level is quiet-gated: the runner waits for the
     1-min loadavg to drop below 0.7 before launching the level's JVM, and
     the per-level JSON records loadavg at start/end so contaminated runs
-    are identifiable."""
+    are identifiable.
+
+    The gate protects a level's START only; co-tenant load (or hypervisor
+    steal, which loadavg cannot see) arriving MID-level still poisons it.
+    So the primary-pair levels (1 and 4 cores) run best-of-2: contention
+    can only LOWER throughput, so the max-throughput attempt is the
+    least-contaminated estimate — the exact dual of the headline bench's
+    best-of-3 per-query MIN on wall time. Every attempt's loadavg and
+    steal_pct are kept in the output for adjudication."""
     results = {}
     for cores in (1, 4, 8, 32):
-        waited = _wait_for_quiet()
-        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cores))
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--edges-bench",
-             "--n-edges", str(n_edges), "--cores", str(cores),
-             "--partitions", "32"],
-            capture_output=True, text=True, env=env, check=True,
-        )
-        line = proc.stdout.strip().splitlines()[-1]
-        results[cores] = json.loads(line)
-        results[cores]["quiet_wait_s"] = waited
+        attempts = []
+        n_attempts = 2 if cores in (1, 4) else 1
+        for _ in range(n_attempts):
+            waited = _wait_for_quiet()
+            env = dict(os.environ, SPARK_GRAFT_CPUS=str(cores))
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--edges-bench",
+                 "--n-edges", str(n_edges), "--cores", str(cores),
+                 "--partitions", "32"],
+                capture_output=True, text=True, env=env, check=True,
+            )
+            line = proc.stdout.strip().splitlines()[-1]
+            att = json.loads(line)
+            att["quiet_wait_s"] = waited
+            attempts.append(att)
+        # PR and CC run sequentially inside one attempt, so a noise burst
+        # can poison one and spare the other — pick per-algorithm best
+        best = dict(max(attempts, key=lambda a: a["pr_edges_per_sec"]))
+        cc_best = max(attempts, key=lambda a: a["cc_edges_per_sec"])
+        for k in ("cc_edges_per_sec", "cc_supersteps_per_sec", "cc_wall",
+                  "cc_supersteps"):
+            if k in cc_best:
+                best[k] = cc_best[k]
+        if len(attempts) > 1:
+            best["all_attempts"] = [
+                {k: a.get(k) for k in ("pr_edges_per_sec", "cc_edges_per_sec",
+                                       "loadavg_start", "loadavg_end",
+                                       "steal_pct", "quiet_wait_s")}
+                for a in attempts
+            ]
+        results[cores] = best
 
     def eff(lo: int, hi: int, key: str) -> float:
         return round(
@@ -396,6 +447,11 @@ slots scale) at four parallelism levels, each in a fresh JVM. The job
 takes a durable checkpoint every 2 supersteps (Giraph's
 checkpointFrequency analog; in between, lineage is truncated by an
 in-memory persist) — identical cadence at every level.
+Noise protocol: every level is quiet-gated on 1-min loadavg < 0.7, the
+primary-pair levels (1, 4 cores) run best-of-2 with per-algorithm max
+throughput kept (contention only ever slows a run), and each attempt
+records loadavg start/end plus hypervisor steal_pct — the raw JSON
+below adjudicates any level after the fact.
 PageRank throughput is the MEAN steady-state superstep rate (first 2
 supersteps excluded: JIT + cache warmup; mean, because supersteps
 alternate cheap/durable checkpoints and amortized throughput is the
