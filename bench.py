@@ -198,6 +198,12 @@ def run_edges_bench(spark, cores: int, n_edges: int, ckpt: str,
     pr_step = steady(pr.metrics)
     out["_pr_supersteps_per_sec"] = round(1 / pr_step, 4)
     out["_pr_edges_per_sec"] = round(n_edges / pr_step, 1)
+    # noise-robust secondary estimator: co-tenant contamination only ever
+    # ADDS wall time, so the MIN superstep wall is the best available
+    # estimate of the uncontaminated per-superstep cost (every superstep
+    # after warmup does identical work — full frontier, fixed plan)
+    pr_min_step = min(m["wall_ms"] for m in pr.metrics[1:]) / 1000.0
+    out["_pr_edges_per_sec_minstep"] = round(n_edges / pr_min_step, 1)
 
     t0 = time.monotonic()
     cc = connected_components(
@@ -211,9 +217,19 @@ def run_edges_bench(spark, cores: int, n_edges: int, ckpt: str,
     # superstep COUNT is metadata, not seconds — keep it out of the
     # public dict so the headline wall-time sum stays a sum of times
     out["_cc_supersteps"] = cc.supersteps_run
+    out["_cc_steps_ms"] = [m["wall_ms"] for m in cc.metrics]
     out["cc_wall"] = round(cc_wall, 3)
     out["_cc_supersteps_per_sec"] = round(cc.supersteps_run / cc_wall, 4)
     out["_cc_edges_per_sec"] = round(n_edges * cc.supersteps_run / cc_wall, 1)
+    # noise-robust secondary estimator for the efficiency ratio: CC's
+    # frontier shrinks geometrically, but the per-step frontier sizes are
+    # deterministic and identical at every core count, so any single step
+    # is cross-level comparable. Step 1 is the cleanest: full frontier
+    # (largest work, smallest relative contamination) and warm (CC runs
+    # after the whole PageRank job in the same JVM).
+    out["_cc_step1_edges_per_sec"] = round(
+        n_edges / (cc.metrics[0]["wall_ms"] / 1000.0), 1
+    )
     return out
 
 
@@ -332,18 +348,30 @@ def _read_cpu_jiffies() -> tuple[int, int]:
         return 0, 0
 
 
-def _wait_for_quiet(max_load1: float = 0.7, timeout_s: int = 1800) -> float:
-    """Block until the 1-min loadavg drops below ``max_load1`` (or the
+def _wait_for_quiet(max_load1: float = 0.7, timeout_s: int = 1800,
+                    max_steal_pct: float = 0.5) -> float:
+    """Block until the 1-min loadavg drops below ``max_load1`` AND a 20 s
+    sample of hypervisor steal stays below ``max_steal_pct`` (or the
     timeout expires). Same rationale as the best-of-3 / loadavg fields on
     the headline bench: a scaling ratio measured while a co-tenant burns
     cores is unadjudicable after the fact (round-2 lesson — the driver's
-    BENCH_r02 ran at load >2 and showed a phantom 3.9x regression).
-    Returns the seconds waited."""
+    BENCH_r02 ran at load >2 and showed a phantom 3.9x regression). The
+    steal leg exists because loadavg only sees THIS VM's runnable tasks;
+    a co-tenant VM contaminates walls through hypervisor steal and shared
+    memory bandwidth, visible only as %st (round-3 lesson — an 80M-edge
+    level run at 1.5-3.2 % avg steal showed identical supersteps swinging
+    23->88 s). Returns the seconds waited."""
     t0 = time.time()
     while time.time() - t0 < timeout_s:
         if os.getloadavg()[0] < max_load1:
-            break
-        time.sleep(20)
+            s0, j0 = _read_cpu_jiffies()
+            time.sleep(20)
+            s1, j1 = _read_cpu_jiffies()
+            steal = 100.0 * (s1 - s0) / max(1, j1 - j0)
+            if steal < max_steal_pct and os.getloadavg()[0] < max_load1:
+                break
+        else:
+            time.sleep(20)
     return round(time.time() - t0, 1)
 
 

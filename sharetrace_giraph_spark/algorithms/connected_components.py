@@ -72,7 +72,15 @@ def connected_components(
     init = verts.select("vertex_id", F.col("vertex_id").alias("comp"), F.lit(1.0).alias("delta"))
 
     def neighbor_min(senders: DataFrame) -> DataFrame:
-        msgs = e.join(senders, e.src == senders.vertex_id).select(
+        # shuffle_hash hint: the senders side is the (filtered) frontier —
+        # O(V) rows. Catalyst's static size estimate routinely puts it
+        # under the broadcast threshold, but broadcasting a frontier is
+        # wrong at scale (it grows with the graph) and measurably harmful
+        # here: at 80M edges the per-superstep ~2M-row broadcast churns
+        # the driver/executor heap until non-durable supersteps stall at
+        # 3-8x their clean wall (BENCH.md round-3 analysis). The edge side
+        # is already hash-partitioned on src, so SHJ is exchange-reusing.
+        msgs = e.join(senders.hint("shuffle_hash"), e.src == senders.vertex_id).select(
             e.dst.alias("mdst"), F.col("comp")
         )
         if hubs is not None:
@@ -91,7 +99,7 @@ def connected_components(
         # of V instead of all of it.
         inc = neighbor_min(state.where(F.col("delta") > 0.5))
         new_comp = F.least("comp", F.coalesce("min_nbr", "comp"))
-        return state.join(inc, state.vertex_id == F.col("mdst"), "left").select(
+        return state.join(inc.hint("shuffle_hash"), state.vertex_id == F.col("mdst"), "left").select(
             "vertex_id",
             new_comp.alias("comp"),
             F.when(new_comp != F.col("comp"), 1.0).otherwise(0.0).alias("delta"),
@@ -103,8 +111,8 @@ def connected_components(
         # vertex id, so the lookup join always matches; left join for safety)
         ptr = state.select(F.col("vertex_id").alias("p_id"), F.col("comp").alias("p_comp"))
         joined = (
-            state.join(inc, state.vertex_id == F.col("mdst"), "left")
-            .join(ptr, F.col("comp") == F.col("p_id"), "left")
+            state.join(inc.hint("shuffle_hash"), state.vertex_id == F.col("mdst"), "left")
+            .join(ptr.hint("shuffle_hash"), F.col("comp") == F.col("p_id"), "left")
         )
         new_comp = F.least(
             "comp", F.coalesce("min_nbr", "comp"), F.coalesce("p_comp", "comp")

@@ -116,8 +116,10 @@ def k_truss(
             sup = corners.groupBy("s", "d").agg(F.count(F.lit(1)).alias("sup"))
         survives = (F.col("alive") == 1) & (F.coalesce("sup", F.lit(0)) >= min_support)
         new_alive = F.when(survives, 1).otherwise(0).cast("int")
+        # shuffle_hash: per-edge support is O(E) — never broadcast a
+        # side that grows with the graph (see connected_components.py)
         return state.join(
-            sup, (state.src == sup.s) & (state.dst == sup.d), "left"
+            sup.hint("shuffle_hash"), (state.src == sup.s) & (state.dst == sup.d), "left"
         ).select(
             state.src,
             state.dst,

@@ -65,7 +65,9 @@ def label_propagation(
     vote = F.col(weight_col) if weight_col else F.lit(1)
 
     def step(state: DataFrame, k: int) -> DataFrame:
-        msgs = e.join(state, e.src == state.vertex_id).select(
+        # shuffle_hash: the state is O(V) — never broadcast a side that
+        # grows with the graph (see connected_components.py)
+        msgs = e.join(state.hint("shuffle_hash"), e.src == state.vertex_id).select(
             e.dst.alias("mdst"), F.col("label").alias("nbr_label"),
             vote.alias("_vote"),
         )
@@ -96,7 +98,7 @@ def label_propagation(
             F.max_by("nbr_label", F.struct(F.col("cnt"), (-F.col("nbr_label")).alias("neg"))).alias("mode_label")
         )
         new_label = F.coalesce("mode_label", "label")
-        return state.join(mode, state.vertex_id == F.col("mdst"), "left").select(
+        return state.join(mode.hint("shuffle_hash"), state.vertex_id == F.col("mdst"), "left").select(
             "vertex_id",
             new_label.alias("label"),
             F.when(new_label != F.col("label"), 1.0).otherwise(0.0).alias("delta"),

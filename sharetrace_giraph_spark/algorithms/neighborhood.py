@@ -113,7 +113,9 @@ def neighborhood_function(
 
         def step(state: DataFrame, k: int) -> DataFrame:
             st, ed = state.alias("st"), e.alias("ed")
-            msgs = ed.join(st, F.col("ed.src") == F.col("st.vertex_id")).select(
+            # shuffle_hash: the state side is O(V) — never broadcast a side
+            # that grows with the graph (see connected_components.py)
+            msgs = ed.join(st.hint("shuffle_hash"), F.col("ed.src") == F.col("st.vertex_id")).select(
                 F.col("ed.dst").alias("vertex_id"),
                 F.col("st.reached").alias("reached"),
                 F.lit(None).cast(state.schema["hist"].dataType).alias("hist"),
@@ -150,7 +152,9 @@ def neighborhood_function(
 
         def step(state: DataFrame, k: int) -> DataFrame:
             st, ed = state.alias("st"), e.alias("ed")
-            msgs = ed.join(st, F.col("ed.src") == F.col("st.vertex_id")).select(
+            # shuffle_hash: the state side is O(V) — never broadcast a side
+            # that grows with the graph (see connected_components.py)
+            msgs = ed.join(st.hint("shuffle_hash"), F.col("ed.src") == F.col("st.vertex_id")).select(
                 F.col("ed.dst").alias("vertex_id"),
                 F.col("st.sk").alias("sk"),
                 F.lit(None).cast(state.schema["hist"].dataType).alias("hist"),

@@ -170,8 +170,16 @@ def pagerank(
         if kernel == "csr":
             msgs = _csr_messages(blocked, state, num_partitions)
         else:
+            # shuffle_hash hint on every O(V) join side in the superstep:
+            # Catalyst's static estimate (and AQE's runtime one) routinely
+            # puts the ~|V|-row state under the broadcast threshold, but a
+            # per-superstep broadcast of a frame that GROWS with the graph
+            # is wrong at scale and measurably harmful here — repeated
+            # 10-100 MB broadcast hash relations churn the heap until
+            # supersteps stall at 3-8x their clean wall (BENCH.md round-3
+            # analysis; CC showed 155 s vs 26 s for the identical step).
             msgs = (
-                edges_w.join(state, edges_w.src == state.vertex_id)
+                edges_w.join(state.hint("shuffle_hash"), edges_w.src == state.vertex_id)
                 .select(edges_w.dst.alias("mdst"), (F.col("rank") * F.col("inv_deg")).alias("contrib"))
             )
         if hubs is not None:
@@ -195,7 +203,9 @@ def pagerank(
         keep = ["vertex_id", F.col("rank").alias("old_rank")] + (
             ["pref"] if personalized else []
         )
-        joined = state.select(*keep).join(inc, F.col("vertex_id") == F.col("mdst"), "left")
+        joined = state.select(*keep).join(
+            inc.hint("shuffle_hash"), F.col("vertex_id") == F.col("mdst"), "left"
+        )
         if dangling is not None:
             # in-plan scalar: summed dangling mass as a 1-row broadcast
             dmass = (

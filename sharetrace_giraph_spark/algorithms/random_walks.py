@@ -118,7 +118,9 @@ def random_walks(
         # superstep 0's state lineage includes e (starts are derived from
         # it) — string aliases keep the self-join unambiguous
         st, ed = state.alias("st"), e.alias("ed")
-        frontier = st.join(ed, F.col("st.cur") == F.col("ed.src")).select(
+        # shuffle_hash: walk state is O(V*num_walks) — never broadcast a
+        # side that grows with the graph (see connected_components.py)
+        frontier = st.hint("shuffle_hash").join(ed, F.col("st.cur") == F.col("ed.src")).select(
             F.col("st.start").alias("start"),
             F.col("st.widx").alias("widx"),
             F.col("st.cur").alias("cur"),

@@ -109,7 +109,9 @@ def risk_propagation(
         # variable→factor scatter (J1) with F5 no-echo + F3 recency, then
         # A1 max-relay to the other endpoint (J2). max(struct) = natural order.
         relayed = (
-            ex.join(edges, ex.vertex_id == edges.u)
+            # shuffle_hash: the exploded score-set side is O(V·scores) —
+            # never broadcast a side that grows with the graph
+            ex.hint("shuffle_hash").join(edges, ex.vertex_id == edges.u)
             .where(
                 (F.col("s.origin_id") != F.col("v"))
                 & (F.col("s.update_time") < F.col("cutoff_ts"))
@@ -130,7 +132,7 @@ def risk_propagation(
             F.max("msg").alias("max_incoming"),
         )
         return (
-            state.join(inc, "vertex_id", "left")
+            state.join(inc.hint("shuffle_hash"), "vertex_id", "left")
             .select(
                 "vertex_id",
                 F.array_sort(

@@ -77,7 +77,9 @@ def shortest_paths(
 
     def step(state: DataFrame, k: int) -> DataFrame:
         frontier = state.where(F.col("delta") > 0.5)
-        msgs = e.join(frontier, e.src == frontier.vertex_id).select(
+        # shuffle_hash: the frontier is O(V) early on — never broadcast a
+        # side that grows with the graph (see connected_components.py)
+        msgs = e.join(frontier.hint("shuffle_hash"), e.src == frontier.vertex_id).select(
             e.dst.alias("mdst"), (F.col("dist") + F.col("w")).alias("nd")
         )
         if hubs is not None:
@@ -89,7 +91,7 @@ def shortest_paths(
         else:
             inc = msgs.groupBy("mdst").agg(F.min("nd").alias("min_nd"))
         new_dist = F.least("dist", F.coalesce("min_nd", "dist"))
-        return state.join(inc, state.vertex_id == F.col("mdst"), "left").select(
+        return state.join(inc.hint("shuffle_hash"), state.vertex_id == F.col("mdst"), "left").select(
             "vertex_id",
             new_dist.alias("dist"),
             F.when(new_dist != F.col("dist"), 1.0).otherwise(0.0).alias("delta"),
