@@ -199,11 +199,26 @@ def run_edges_bench(spark, cores: int, n_edges: int, ckpt: str,
     out["_pr_supersteps_per_sec"] = round(1 / pr_step, 4)
     out["_pr_edges_per_sec"] = round(n_edges / pr_step, 1)
     # noise-robust secondary estimator: co-tenant contamination only ever
-    # ADDS wall time, so the MIN superstep wall is the best available
-    # estimate of the uncontaminated per-superstep cost (every superstep
-    # after warmup does identical work — full frontier, fixed plan)
-    pr_min_step = min(m["wall_ms"] for m in pr.metrics[1:]) / 1000.0
+    # ADDS wall time, so the MIN superstep wall estimates the uncontaminated
+    # per-superstep cost. Every post-warmup superstep runs the same plan on
+    # the full frontier, but with checkpoint_every=k>1 steps alternate cheap
+    # in-memory (localCheckpoint) and durable parquet checkpoints, and min()
+    # selects a NON-durable step — so this metric is the non-checkpoint
+    # per-superstep cost, an OVERestimate of amortized absolute throughput.
+    # The cross-level efficiency ratio (same estimator at both levels)
+    # remains comparable; _pr_edges_per_sec_minstep_durable reports the
+    # durable-step min alongside for the absolute picture.
+    pr_rows = pr.metrics[1:] or pr.metrics
+    pr_min_step = min(m["wall_ms"] for m in pr_rows) / 1000.0
     out["_pr_edges_per_sec_minstep"] = round(n_edges / pr_min_step, 1)
+    durable_rows = [
+        m for m in pr_rows
+        if (m["superstep"] + 1) % checkpoint_every == 0
+        or m["superstep"] == pr.metrics[-1]["superstep"]
+    ]
+    if durable_rows:
+        pr_min_durable = min(m["wall_ms"] for m in durable_rows) / 1000.0
+        out["_pr_edges_per_sec_minstep_durable"] = round(n_edges / pr_min_durable, 1)
 
     t0 = time.monotonic()
     cc = connected_components(

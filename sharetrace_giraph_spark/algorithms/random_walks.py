@@ -118,9 +118,14 @@ def random_walks(
         # superstep 0's state lineage includes e (starts are derived from
         # it) — string aliases keep the self-join unambiguous
         st, ed = state.alias("st"), e.alias("ed")
-        # shuffle_hash: walk state is O(V*num_walks) — never broadcast a
-        # side that grows with the graph (see connected_components.py)
-        frontier = st.hint("shuffle_hash").join(ed, F.col("st.cur") == F.col("ed.src")).select(
+        # shuffle_hash on BOTH sides: neither is broadcast-safe (state is
+        # O(V*num_walks), edges O(E)) and either may be the smaller one
+        # depending on num_walks vs avg degree — hinting both lets the
+        # planner build the in-memory hash map on the smaller relation
+        # instead of pinning the build side to the walk state
+        frontier = st.hint("shuffle_hash").join(
+            ed.hint("shuffle_hash"), F.col("st.cur") == F.col("ed.src")
+        ).select(
             F.col("st.start").alias("start"),
             F.col("st.widx").alias("widx"),
             F.col("st.cur").alias("cur"),

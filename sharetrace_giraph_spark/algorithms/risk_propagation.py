@@ -109,9 +109,12 @@ def risk_propagation(
         # variable→factor scatter (J1) with F5 no-echo + F3 recency, then
         # A1 max-relay to the other endpoint (J2). max(struct) = natural order.
         relayed = (
-            # shuffle_hash: the exploded score-set side is O(V·scores) —
-            # never broadcast a side that grows with the graph
-            ex.hint("shuffle_hash").join(edges, ex.vertex_id == edges.u)
+            # shuffle_hash on BOTH sides: the exploded score-set side is
+            # O(V·scores) and edges O(E) — neither is broadcast-safe and
+            # either may be the larger one, so hint both and let the
+            # planner build the hash map on the smaller relation
+            ex.hint("shuffle_hash")
+            .join(edges.hint("shuffle_hash"), ex.vertex_id == edges.u)
             .where(
                 (F.col("s.origin_id") != F.col("v"))
                 & (F.col("s.update_time") < F.col("cutoff_ts"))
