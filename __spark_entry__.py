@@ -1747,66 +1747,16 @@ def q_streaming_enrich(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Query registry. ORDER MATTERS for driver evidence: the driver's
-    correctness harness runs a bounded prefix of this dict (the first ~50
-    entries in r02), so entries that have never had a driver CORRECTNESS
-    row lead, and the 50 entries already triple-green in CORRECTNESS_r02
-    trail (their pytest oracle twin, tests/test_entry_oracle.py, still
-    runs all of them every round)."""
+    correctness harness runs a bounded prefix of this dict (the first 50
+    entries in r02 and r03). Cumulative driver coverage reached 85/85 in
+    r03; the prefix is now rotated each round to maximize evidence
+    FRESHNESS — entries whose last driver row is oldest, or whose code
+    changed since their last row, lead. The membership of the registry
+    itself is frozen (round-2 review item #10); only the order rotates.
+    The pytest oracle twin (tests/test_entry_oracle.py) still runs all
+    85 against DuckDB every round regardless of order."""
     return {
-        # --- never driver-tested (no CORRECTNESS row in r01 or r02) ---
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_near_clusters": q_dedup_near_clusters,
-        "dedup_keep_best": q_dedup_keep_best,
-        "dedup_simhash": q_dedup_simhash,
-        "embedding_near_dup": q_embedding_near_dup,
-        "asof_join_latest": q_asof_join_latest,
-        "text_tfidf_top": q_text_tfidf_top,
-        "text_repetition": q_text_repetition,
-        "pii_redact": q_pii_redact,
-        "contamination_ngram": q_contamination_ngram,
-        "sample_hash_split": q_sample_hash_split,
-        "full_outer_reconcile": q_full_outer_reconcile,
-        "json_extract_agg": q_json_extract_agg,
-        "pivot_counts": q_pivot_counts,
-        "quantiles": q_quantiles,
-        "window_rank_stats": q_window_rank_stats,
-        "cube_agg": q_cube_agg,
-        "multimodal_frames": q_multimodal_frames,
-        "multimodal_resize": q_multimodal_resize,
-        "graph_assortativity": q_graph_assortativity,
-        "streaming_windowed": q_streaming_windowed,
-        "streaming_sessionize": q_streaming_sessionize,
-        "streaming_dedup": q_streaming_dedup,
-        "streaming_enrich": q_streaming_enrich,
-        # --- new this round ---
-        "graph_effective_diameter": q_graph_effective_diameter,
-        "graph_butterflies": q_graph_butterflies,
-        # --- driver-green in r01 only (not re-run in r02) ---
-        "sim_topk_bruteforce": q_sim_topk_bruteforce,
-        "sim_topk_ivf": q_sim_topk_ivf,
-        "text_fingerprint": q_text_fingerprint,
-        "text_token_count": q_text_token_count,
-        "text_token_count_bpe": q_text_token_count_bpe,
-        "text_quality": q_text_quality,
-        "text_lang_id": q_text_lang_id,
-        "multimodal_meta": q_multimodal_meta,
-        "multimodal_stats": q_multimodal_stats,
-        # --- r02 triple-green; highest-value re-tests first ---
-        "graph_pagerank": q_graph_pagerank,
-        "graph_ppr": q_graph_ppr,
-        "graph_cc": q_graph_cc,
-        "graph_cc_doubling": q_graph_cc_doubling,
-        "graph_component_sizes": q_graph_component_sizes,
-        "graph_lpa": q_graph_lpa,
-        "graph_lpa_weighted": q_graph_lpa_weighted,
-        "graph_bfs": q_graph_bfs,
-        "graph_sssp": q_graph_sssp,
-        "graph_kcore": q_graph_kcore,
-        "graph_ktruss": q_graph_ktruss,
-        "graph_walks": q_graph_walks,
-        "graph_neighborhood": q_graph_neighborhood,
-        "graph_harmonic": q_graph_harmonic,
-        "graph_degree_hist": q_graph_degree_hist,
+        # --- window A: stale driver rows (last CORRECTNESS row r01/r02; not in the r03 50-entry window) ---
         "graph_strength_topk": q_graph_strength_topk,
         "graph_triangles": q_graph_triangles,
         "graph_clustering": q_graph_clustering,
@@ -1842,6 +1792,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_census": q_degree_census,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        # --- window A: code changed AFTER the r03 driver run (HOF token-bind fixes, census cache, both-side superstep hints) ---
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_near_clusters": q_dedup_near_clusters,
+        "dedup_keep_best": q_dedup_keep_best,
+        "dedup_simhash": q_dedup_simhash,
+        "contamination_ngram": q_contamination_ngram,
+        "text_quality": q_text_quality,
+        "text_lang_id": q_text_lang_id,
+        "text_repetition": q_text_repetition,
+        "graph_walks": q_graph_walks,
+        # --- window A: highest-value fresh re-tests (salted-agg / sketch / bench-set paths) ---
+        "graph_pagerank": q_graph_pagerank,
+        "graph_cc": q_graph_cc,
+        "graph_ktruss": q_graph_ktruss,
+        "graph_neighborhood": q_graph_neighborhood,
+        "graph_effective_diameter": q_graph_effective_diameter,
+        "sim_topk_bruteforce": q_sim_topk_bruteforce,
+        # --- r03 triple-green, code unchanged since; pytest oracle twin still runs all 85 every round ---
+        "embedding_near_dup": q_embedding_near_dup,
+        "asof_join_latest": q_asof_join_latest,
+        "text_tfidf_top": q_text_tfidf_top,
+        "pii_redact": q_pii_redact,
+        "sample_hash_split": q_sample_hash_split,
+        "full_outer_reconcile": q_full_outer_reconcile,
+        "json_extract_agg": q_json_extract_agg,
+        "pivot_counts": q_pivot_counts,
+        "quantiles": q_quantiles,
+        "window_rank_stats": q_window_rank_stats,
+        "cube_agg": q_cube_agg,
+        "multimodal_frames": q_multimodal_frames,
+        "multimodal_resize": q_multimodal_resize,
+        "graph_assortativity": q_graph_assortativity,
+        "streaming_windowed": q_streaming_windowed,
+        "streaming_sessionize": q_streaming_sessionize,
+        "streaming_dedup": q_streaming_dedup,
+        "streaming_enrich": q_streaming_enrich,
+        "graph_butterflies": q_graph_butterflies,
+        "sim_topk_ivf": q_sim_topk_ivf,
+        "text_fingerprint": q_text_fingerprint,
+        "text_token_count": q_text_token_count,
+        "text_token_count_bpe": q_text_token_count_bpe,
+        "multimodal_meta": q_multimodal_meta,
+        "multimodal_stats": q_multimodal_stats,
+        "graph_ppr": q_graph_ppr,
+        "graph_cc_doubling": q_graph_cc_doubling,
+        "graph_component_sizes": q_graph_component_sizes,
+        "graph_lpa": q_graph_lpa,
+        "graph_lpa_weighted": q_graph_lpa_weighted,
+        "graph_bfs": q_graph_bfs,
+        "graph_sssp": q_graph_sssp,
+        "graph_kcore": q_graph_kcore,
+        "graph_harmonic": q_graph_harmonic,
+        "graph_degree_hist": q_graph_degree_hist,
     }
 
 

@@ -42,6 +42,18 @@ from .text import tokens
 logger = logging.getLogger(__name__)
 
 
+#: persisted bucket-key frame backing the loud-census path; one lives at a
+#: time, released on the next census (same discipline as triangle_count)
+_LAST_KEYED: list = []
+
+
+def release_cached() -> None:
+    """Release the census cache (call between many dedup queries in one
+    long session; otherwise the next capped call releases it)."""
+    while _LAST_KEYED:
+        _LAST_KEYED.pop().unpersist()
+
+
 def _cap_buckets(
     keyed: DataFrame,
     bucket_cols: list[str],
@@ -54,6 +66,17 @@ def _cap_buckets(
     was cut (the no-silent-caps rule); leave False on hot paths."""
     if max_bucket_size is None:
         return keyed
+    if log_dropped:
+        # The census below is its own Spark action; without a cache it
+        # would recompute the full upstream signature pipeline (shingle
+        # explode + k min-hash aggs) a SECOND time when the caller runs
+        # the returned plan — measured 2x wall on the sf0.1 LSH query.
+        # The bucket-key frame is narrow (id, bucket cols) and O(docs ×
+        # bands), so persist it, point the census at the cache, and leave
+        # it live for the caller's action.
+        release_cached()
+        keyed = keyed.persist()
+        _LAST_KEYED.append(keyed)
     sizes = keyed.groupBy(*bucket_cols).agg(F.count(F.lit(1)).alias("bucket_n"))
     if log_dropped:
         dropped = sizes.where(F.col("bucket_n") > max_bucket_size).agg(
@@ -82,13 +105,24 @@ def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
 
 
 def word_ngrams(col, n: int = 3) -> F.Column:
-    """Distinct word n-grams (shingles) as an array of strings."""
-    t = tokens(col)
-    idx = F.sequence(F.lit(0), F.greatest(F.size(t) - n, F.lit(0)))
-    grams = F.transform(
-        idx, lambda i: F.array_join(F.slice(t, i + 1, n), " ")
-    )
-    return F.array_distinct(F.when(F.size(t) >= n, grams).otherwise(F.array()))
+    """Distinct word n-grams (shingles) as an array of strings.
+
+    The token array is bound ONCE as a lambda variable (the
+    ``transform(array(tokens), build)`` wrapper) before the per-index
+    shingle transform runs. Referencing ``tokens(col)`` directly inside
+    the inner lambda would re-evaluate the regex split PER SHINGLE INDEX
+    (Catalyst does not common-subexpression-eliminate across higher-order
+    -function lambda boundaries), turning an O(tokens) expression into
+    O(tokens²) per row — measured 6.3× slower on the sf0.1 corpus."""
+    def build(ts):
+        idx = F.sequence(F.lit(0), F.greatest(F.size(ts) - n, F.lit(0)))
+        grams = F.transform(
+            idx, lambda i: F.array_join(F.slice(ts, i + 1, n), " ")
+        )
+        return F.array_distinct(
+            F.when(F.size(ts) >= n, grams).otherwise(F.array())
+        )
+    return F.element_at(F.transform(F.array(tokens(col)), build), 1)
 
 
 def minhash_signatures(
@@ -177,11 +211,25 @@ def ngram_jaccard(
 ) -> DataFrame:
     """Exact Jaccard similarity over word n-gram sets for given (a, b)
     candidate pairs — the verify stage after LSH. Two hash joins against
-    the (small relative to corpus) pair list."""
-    g = docs.select(F.col(id_col).alias("doc"), word_ngrams(text_col, shingle_n).alias("grams"))
-    ga = g.select(F.col("doc").alias("a"), F.col("grams").alias("grams_a"))
-    gb = g.select(F.col("doc").alias("b"), F.col("grams").alias("grams_b"))
-    j = pairs.join(ga, "a").join(gb, "b")
+    the (small relative to corpus) pair list.
+
+    Shingling happens AFTER the pair join, so the per-row n-gram
+    computation runs only for documents that actually appear in a
+    candidate pair — not twice over the full corpus. At 100 TB the
+    candidate set is orders of magnitude smaller than the corpus, and
+    the corpus sides of the joins stream just (id, text) with the tiny
+    pair list as the broadcast build side."""
+    da = docs.select(F.col(id_col).alias("a"), F.col(text_col).alias("_text_a"))
+    db = docs.select(F.col(id_col).alias("b"), F.col(text_col).alias("_text_b"))
+    j = pairs.join(da, "a").join(db, "b")
+    # grams materialized once per side per row (multi-use non-cheap alias:
+    # CollapseProject keeps the projection boundary, so intersect+union
+    # below do not re-shingle — see test_plan_discipline)
+    j = j.select(
+        "a", "b",
+        word_ngrams("_text_a", shingle_n).alias("grams_a"),
+        word_ngrams("_text_b", shingle_n).alias("grams_b"),
+    )
     inter = F.size(F.array_intersect("grams_a", "grams_b"))
     union = F.size(F.array_union("grams_a", "grams_b"))
     return j.select(

@@ -53,54 +53,62 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     stopword ratio, and a composite score in [0,1]. (The classic
     Gopher/C4-style length+stopword filters, minus the proprietary
     thresholds.)"""
-    t = tokens(text_col)
-    n = F.size(t)
-    mean_len = F.when(
-        n > 0,
-        F.aggregate(t, F.lit(0).cast("double"), lambda acc, x: acc + F.length(x)) / n,
-    ).otherwise(F.lit(0.0))
-    stop = F.array(*[F.lit(s) for s in LANG_STOPWORDS["en"]])
-    n_stop = F.size(F.filter(t, lambda x: F.array_contains(stop, F.lower(x))))
-    stop_ratio = F.when(n > 0, n_stop / n).otherwise(F.lit(0.0))
-    score = F.round(
-        F.least(n / F.lit(64.0), F.lit(1.0)) * 0.5
-        + F.least(stop_ratio * F.lit(5.0), F.lit(1.0)) * 0.3
-        + F.least(mean_len / F.lit(8.0), F.lit(1.0)) * 0.2,
-        6,
-    )
-    return df.select(
-        id_col,
-        n.alias("n_tokens"),
-        F.round(mean_len, 6).alias("mean_token_len"),
-        F.round(stop_ratio, 6).alias("stopword_ratio"),
-        score.alias("quality"),
-    )
+    # Token array bound once as a lambda variable — the naive spelling
+    # re-ran the regex split 14× per row (every reference to n/mean_len/
+    # stop_ratio re-inlined the tokens() subtree; no CSE across HOF
+    # lambda boundaries). Same fix as dedup.word_ngrams.
+    def build(ts):
+        n = F.size(ts)
+        mean_len = F.when(
+            n > 0,
+            F.aggregate(ts, F.lit(0).cast("double"), lambda acc, x: acc + F.length(x)) / n,
+        ).otherwise(F.lit(0.0))
+        stop = F.array(*[F.lit(s) for s in LANG_STOPWORDS["en"]])
+        n_stop = F.size(F.filter(ts, lambda x: F.array_contains(stop, F.lower(x))))
+        stop_ratio = F.when(n > 0, n_stop / n).otherwise(F.lit(0.0))
+        score = F.round(
+            F.least(n / F.lit(64.0), F.lit(1.0)) * 0.5
+            + F.least(stop_ratio * F.lit(5.0), F.lit(1.0)) * 0.3
+            + F.least(mean_len / F.lit(8.0), F.lit(1.0)) * 0.2,
+            6,
+        )
+        return F.struct(
+            n.alias("n_tokens"),
+            F.round(mean_len, 6).alias("mean_token_len"),
+            F.round(stop_ratio, 6).alias("stopword_ratio"),
+            score.alias("quality"),
+        )
+    s = F.element_at(F.transform(F.array(tokens(text_col)), build), 1)
+    return df.select(id_col, s.alias("s")).select(id_col, "s.*")
 
 
 def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Stopword-vote language ID: the language whose lexicon matches the
     most tokens wins (ties → lexicographic language order, deterministic);
     'und' when nothing matches."""
-    t = tokens(text_col)
-    votes = []
     # engine-wide tie convention (same as LPA's label ties): max hits,
     # tie-break to the lexicographically SMALLEST language. Encoded for
     # struct-greatest by a negated rank field: max(n, -rank) = max hits,
     # then min rank = first language in sorted order.
-    for i, lang in enumerate(sorted(LANG_STOPWORDS)):
-        lex = F.array(*[F.lit(s) for s in LANG_STOPWORDS[lang]])
-        votes.append(
-            F.struct(
-                F.size(F.filter(t, lambda x: F.array_contains(lex, F.lower(x)))).alias("n"),
-                F.lit(-i).alias("nr"),
-                F.lit(lang).alias("lang"),
+    # Token array bound once (one split per row, not one per language —
+    # same HOF-recompute fix as quality_score/word_ngrams).
+    def build(ts):
+        votes = []
+        for i, lang in enumerate(sorted(LANG_STOPWORDS)):
+            lex = F.array(*[F.lit(s) for s in LANG_STOPWORDS[lang]])
+            votes.append(
+                F.struct(
+                    F.size(F.filter(ts, lambda x: F.array_contains(lex, F.lower(x)))).alias("n"),
+                    F.lit(-i).alias("nr"),
+                    F.lit(lang).alias("lang"),
+                )
             )
-        )
-    best = F.greatest(*votes) if len(votes) > 1 else votes[0]
-    return df.select(
+        return F.greatest(*votes) if len(votes) > 1 else votes[0]
+    best = F.element_at(F.transform(F.array(tokens(text_col)), build), 1)
+    return df.select(id_col, best.alias("best")).select(
         id_col,
-        F.when(best["n"] > 0, best["lang"]).otherwise(F.lit("und")).alias("lang_pred"),
-        best["n"].alias("stopword_hits"),
+        F.when(F.col("best.n") > 0, F.col("best.lang")).otherwise(F.lit("und")).alias("lang_pred"),
+        F.col("best.n").alias("stopword_hits"),
     )
 
 
@@ -122,19 +130,25 @@ def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     most frequent token. All array expressions — per-row cost is
     O(tokens · distinct), bounded by document length, with no shuffle and
     no Python."""
-    t = tokens(text_col)
-    n = F.size(t)
-    nd = F.size(F.array_distinct(t))
-    top = F.array_max(
-        F.transform(F.array_distinct(t), lambda x: F.size(F.filter(t, lambda y: y == x)))
-    )
-    return df.select(
-        id_col,
-        n.alias("n_tokens"),
-        nd.alias("n_distinct"),
-        F.round(F.when(n > 0, (n - nd) / n).otherwise(F.lit(0.0)), 6).alias("dup_ratio"),
-        F.round(F.when(n > 0, top / n).otherwise(F.lit(0.0)), 6).alias("top_token_share"),
-    )
+    # Bind the token array ONCE as a lambda variable: referencing
+    # tokens(text_col) inside the per-distinct-token count lambda would
+    # re-run the regex split per distinct token (no CSE across
+    # higher-order-function lambdas) — the same O(tokens²) trap fixed in
+    # dedup.word_ngrams.
+    def build(ts):
+        n = F.size(ts)
+        nd = F.size(F.array_distinct(ts))
+        top = F.array_max(
+            F.transform(F.array_distinct(ts), lambda x: F.size(F.filter(ts, lambda y: y == x)))
+        )
+        return F.struct(
+            n.alias("n_tokens"),
+            nd.alias("n_distinct"),
+            F.round(F.when(n > 0, (n - nd) / n).otherwise(F.lit(0.0)), 6).alias("dup_ratio"),
+            F.round(F.when(n > 0, top / n).otherwise(F.lit(0.0)), 6).alias("top_token_share"),
+        )
+    s = F.element_at(F.transform(F.array(tokens(text_col)), build), 1)
+    return df.select(id_col, s.alias("s")).select(id_col, "s.*")
 
 
 def tfidf_top_terms(

@@ -258,3 +258,38 @@ def test_contamination_broadcasts_benchmark_grams(spark):
     assert "partial_count" in plan
     for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert node not in plan, node
+
+
+def test_tokenization_evaluated_once_per_row(spark):
+    """HOF-recompute guard: Catalyst does not CSE across higher-order-
+    function lambda boundaries, so a shingle/count lambda that references
+    ``tokens(col)`` directly re-runs the regex split per array element —
+    O(tokens²) per row (measured 6.3× on the sf0.1 corpus). word_ngrams
+    and repetition_stats bind the token array once as a lambda variable;
+    the optimized plan must therefore contain exactly ONE split(...)."""
+    from sharetrace_giraph_spark.operators.dedup import word_ngrams
+    from sharetrace_giraph_spark.operators.text import (
+        lang_id,
+        quality_score,
+        repetition_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "x y")], "doc_id long, text string"
+    )
+    for name, df in (
+        ("word_ngrams", docs.select(word_ngrams("text").alias("g"))),
+        ("repetition_stats", repetition_stats(docs)),
+        ("quality_score", quality_score(docs)),  # was 14 splits/row
+        ("lang_id", lang_id(docs)),  # was 9 splits/row (one per language)
+    ):
+        plan = str(df._jdf.queryExecution().optimizedPlan())
+        assert plan.count("split(") == 1, (name, plan.count("split("))
+
+    # ngram_jaccard shingles AFTER the pair join (once per side — 2 total),
+    # never over the full corpus per side
+    from sharetrace_giraph_spark.operators.dedup import ngram_jaccard
+
+    pairs = docs.select(F.col("doc_id").alias("a"), (F.col("doc_id") + 1).alias("b"))
+    plan = str(ngram_jaccard(pairs, docs)._jdf.queryExecution().optimizedPlan())
+    assert plan.count("split(") == 2, plan.count("split(")
