@@ -159,6 +159,75 @@ def generate_edges(
     return df.select(src.alias("src"), dst.alias("dst"))
 
 
+def generate_docs(
+    spark: SparkSession,
+    n_docs: int,
+    tokens_per_doc: int = 48,
+    group_size: int = 5,
+    unique_tokens: int = 5,
+    n_giant_dups: int = 0,
+    seed: int = 42,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic synthetic document corpus ``(doc_id: long, text:
+    string)`` with planted near-duplicate structure, for dedup benchmarks
+    at scales where the sf parquet corpora are too small.
+
+    Structure: consecutive ``group_size`` docs form a near-dup group —
+    they share the ``tokens_per_doc - unique_tokens`` leading tokens
+    (derived from md5 of the group id) and differ in ``unique_tokens``
+    trailing doc-specific tokens. At the defaults the pairwise 3-gram
+    shingle Jaccard within a group is ~0.74, above the pipeline's 0.7
+    verify threshold, so every within-group pair is a true near-dup and
+    cross-group Jaccard is 0 (token vocabularies are disjoint by hash).
+
+    ``n_giant_dups`` leading docs are byte-identical (one pathological
+    duplicate cluster): they land in a single LSH bucket of that size,
+    which is exactly the skew the ``max_bucket_size`` guard exists for —
+    benchmarks run with the guard active to show throughput does not go
+    quadratic on the pathology.
+
+    Entirely JVM expressions (spark.range + md5 transforms): ~48 md5 per
+    row, no Python, no RNG, no disk — the same determinism contract as
+    ``generate_edges``."""
+    parts = num_partitions or spark.sparkContext.defaultParallelism
+    df = spark.range(0, n_docs, 1, parts)
+    gid = (
+        F.when(F.col("id") < n_giant_dups, F.lit(-1))
+        .otherwise(F.floor(F.col("id") / group_size))
+        .cast("string")
+    )
+    # bind gid/doc id as plain attributes BEFORE the per-token transforms:
+    # HOF lambdas re-evaluate captured non-attribute expressions per element
+    # (see operators/dedup.word_ngrams)
+    df = df.select(F.col("id"), gid.alias("gid"))
+    shared_n = tokens_per_doc - unique_tokens
+    shared = F.transform(
+        F.sequence(F.lit(0), F.lit(shared_n - 1)),
+        lambda j: F.substring(
+            F.md5(F.concat_ws("#", F.lit(f"s{seed}"), F.col("gid"), j.cast("string"))), 1, 8
+        ),
+    )
+    uniq = F.when(F.col("id") < n_giant_dups, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(unique_tokens - 1)),
+            lambda j: F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "#", F.lit(f"d{seed}"), F.col("id").cast("string"), j.cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+        )
+    )
+    return df.select(
+        F.col("id").alias("doc_id"),
+        F.array_join(F.concat(shared, uniq), " ").alias("text"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Tiny fixture: the reference topology, transplanted to transcripts.
 # ---------------------------------------------------------------------------

@@ -298,3 +298,35 @@ def test_capped_composition_bounds_pairs_and_keeps_recall(spark, docs):
         corpus, threshold=0.2, max_bucket_size=cap
     ).where((F.col("a") >= 700000) & (F.col("b") >= 700000))
     assert giant_pairs.count() == 0
+
+
+def test_generate_docs_planted_structure(spark):
+    """datagen.generate_docs (the --docs-bench corpus): deterministic
+    across partitioning, every within-group pair of non-giant docs is a
+    verified near-dup (Jaccard ~0.8 > 0.7), cross-group pairs never
+    appear (disjoint hashed vocabularies), and the giant duplicate
+    cluster is byte-identical text that the bucket cap evicts whole."""
+    from sharetrace_giraph_spark.datagen import generate_docs
+
+    d = generate_docs(spark, 100, n_giant_dups=10, num_partitions=8)
+    d2 = generate_docs(spark, 100, n_giant_dups=10, num_partitions=3)
+    assert d.exceptAll(d2).count() == 0 and d2.exceptAll(d).count() == 0
+
+    rows = {r.doc_id: r.text for r in d.collect()}
+    assert len(rows) == 100
+    assert len({rows[i] for i in range(10)}) == 1  # giants identical
+    assert all(len(rows[i].split()) == 48 for i in (37, 99))
+    assert len(rows[0].split()) == 43  # giants carry no unique suffix
+
+    pairs = dedup.minhash_near_duplicates(
+        d, threshold=0.7, max_bucket_size=8, log_dropped=True
+    )
+    got = {(r.a, r.b) for r in pairs.collect()}
+    # groups of 5 over ids 10..99 -> 18 groups x C(5,2)=10 pairs
+    want = {
+        (a, b)
+        for g in range(2, 20)
+        for a in range(g * 5, g * 5 + 5)
+        for b in range(a + 1, g * 5 + 5)
+    }
+    assert got == want
