@@ -195,31 +195,57 @@ class SuperstepDriver:
             (obs.get if obs is not None else None),
         )
 
-    def _persist_state(self, state: DataFrame):
-        """Non-durable checkpoint: ``localCheckpoint(eager=True)``.
+    def _checkpoint_carry(self, state: DataFrame, superstep: int, durable: bool):
+        """Materialize the superstep output ONCE via eager
+        ``localCheckpoint`` — truncating lineage (like the parquet
+        round-trip) while PRESERVING the step's ``hash(vertex_id, P)``
+        output partitioning in the rebased ``LogicalRDD`` — then, on
+        durable steps, copy the materialized rows to the parquet snapshot
+        as a cheap single-stage scan with the convergence aggregates
+        observed on that same pass.
 
-        NOT ``.persist()`` — persist caches the physical result but does
-        not truncate the LOGICAL plan, so each subsequent superstep makes
-        Catalyst re-analyze the whole accumulated lineage and the cadence
-        got slower than checkpointing every superstep (measured: 33s vs
-        13s for 10 supersteps on a 94k-edge graph at local[32]).
-        localCheckpoint rebases the plan on the materialized RDD, exactly
-        like the parquet round-trip but executor-local and with no file
-        I/O. Convergence aggregates run as a follow-up 1-row agg over the
-        materialized data (a cheap in-memory scan; ``observe`` cannot
-        piggyback across the checkpoint boundary).
+        Why the carry matters: the old durable path continued the loop
+        from a fresh parquet scan, whose partitioning Spark cannot know —
+        so the NEXT superstep re-exchanged the O(V) state for its
+        gather join, its agg, and its scatter join. With the carry (and
+        the loop's pinned planning, see ``run``), the state side of every
+        superstep join is already hash-clustered on the join key at the
+        loop width P and EnsureRequirements inserts no state-side
+        exchange: one message-aggregation exchange per superstep is all
+        that remains — the minimal BSP shuffle shape. Measured (probe in
+        BENCH.md round 4): per-superstep stage count drops ~3×, and the
+        serial per-superstep cost c that caps N→4N scaling efficiency
+        drops with it.
 
-        Tradeoff (why this is only the NON-durable slot): executor loss
-        voids a local checkpoint, failing the job back to the last durable
-        parquet superstep — the resume granularity ``checkpoint_every``
-        already promises."""
+        Durability contract is unchanged: the parquet snapshot at the
+        ``checkpoint_every`` cadence is byte-equivalent to the old one;
+        executor loss still fails back to the last durable superstep."""
         cached = state.localCheckpoint(eager=True)
-        row = cached.agg(
-            F.sum(F.abs(F.col("delta"))).alias("l1"),
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.when(F.abs("delta") > self._tolerance, 1).otherwise(0)).alias("active"),
-        ).collect()[0]
-        agg = {"l1": row["l1"], "n": row["n"], "active": row["active"]}
+        if durable:
+            path = os.path.join(
+                _state_dir(self.checkpoint_dir, self.run_id, self.algorithm),
+                f"superstep={superstep}",
+            )
+            obs = Observation(f"superstep-{superstep}")
+            cached.observe(
+                obs,
+                F.sum(F.abs(F.col("delta"))).alias("l1"),
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.when(F.abs("delta") > self._tolerance, 1).otherwise(0)).alias(
+                    "active"
+                ),
+            ).write.mode("overwrite").parquet(path)
+            self._append_partition_metrics(superstep, path)
+            agg = obs.get
+        else:
+            row = cached.agg(
+                F.sum(F.abs(F.col("delta"))).alias("l1"),
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.when(F.abs("delta") > self._tolerance, 1).otherwise(0)).alias(
+                    "active"
+                ),
+            ).collect()[0]
+            agg = {"l1": row["l1"], "n": row["n"], "active": row["active"]}
         return cached, agg
 
     def read_state(self, superstep: int) -> DataFrame:
@@ -316,76 +342,114 @@ class SuperstepDriver:
         resume: bool = True,
         min_supersteps: int = 1,
         checkpoint_every: int = 1,
+        pin_planning: bool = True,
     ) -> SuperstepResult:
         """``checkpoint_every`` is Giraph's checkpointFrequency analog:
         durable (resumable) checkpoints land every k-th superstep; in
-        between, lineage is truncated with an in-memory persist instead of
-        a parquet round-trip (cheaper, not kill-proof). Resume granularity
-        becomes k supersteps; the final state is always written durably."""
+        between, lineage is truncated with an in-memory localCheckpoint
+        (cheaper, not kill-proof). Resume granularity becomes k
+        supersteps; the final state is always written durably.
+
+        ``pin_planning`` (default on): for the duration of the loop, AQE
+        is disabled and ``spark.sql.shuffle.partitions`` is pinned to the
+        iteration width P. Rationale: the loop's static inputs (edges,
+        vertex universe) are cached hash-partitioned at P and every
+        superstep's carried state comes out hash-partitioned at P
+        (``_checkpoint_carry``), so with static planning EnsureRequirements
+        proves co-partitioning and each superstep needs exactly ONE
+        exchange (the message aggregation). AQE would re-coalesce those
+        shuffles to runtime-chosen widths, breaking the co-partitioning
+        proof for every subsequent superstep join — it optimizes the one
+        query while defeating the cross-superstep layout reuse, which is
+        the dominant cost at 10^12-turn scale. Skew inside the loop is
+        handled explicitly (salting hooks), not by AQE. The session confs
+        are restored on exit."""
         t0 = time.monotonic()
         self._tolerance = tolerance
         resumed_from = latest_committed(self.checkpoint_dir, self.run_id, self.algorithm) if resume else None
 
-        if resumed_from is not None:
-            state = self.read_state(resumed_from)
-            start_step = resumed_from + 1
-        else:
-            # superstep -1 checkpoint = the initial state, so a job killed in
-            # superstep 0 still resumes deterministically
-            if resume:
-                state, _ = self._write_state(init_state, -1)
-            else:
-                state = init_state
-            start_step = 0
-
-        l1 = float("inf")  # the DeltaAggregator +inf sentinel, reborn
-        steps_run = 0
-        k = start_step - 1
-        all_metrics: list[dict] = []
-        converged = False
-
-        prev_cached: DataFrame | None = None
-        for k in range(start_step, max_supersteps):
-            ts = time.monotonic()
-            new_state = step(state, k)
-            # no forced repartition: parquet round-trip drops partitioning
-            # info anyway, and AQE already coalesces the step's output; an
-            # extra exchange per superstep would buy nothing.
-            # one Spark action per superstep: the checkpoint (durable parquet
-            # or in-memory persist), with the convergence aggregates observed
-            # on the same pass
-            durable = (k + 1) % checkpoint_every == 0 or k == max_supersteps - 1
-            if durable:
-                state, agg = self._write_state(new_state, k, observe_delta=True)
-            else:
-                state, agg = self._persist_state(new_state)
-            if prev_cached is not None:
-                prev_cached.unpersist()
-                prev_cached = None
-            if not durable:
-                prev_cached = state
-            l1 = float(agg["l1"] or 0.0)
-            wall_ms = int((time.monotonic() - ts) * 1000)
-            row = {
-                "superstep": k,
-                "active_vertices": int(agg["active"] or 0),
-                "messages": int(agg["n"] or 0),
-                "l1_delta": l1,
-                "wall_ms": wall_ms,
-                "num_partitions": self.num_partitions,
+        conf = self.spark.conf
+        saved: dict[str, str] | None = None
+        if pin_planning:
+            saved = {
+                k: conf.get(k)
+                for k in ("spark.sql.adaptive.enabled", "spark.sql.shuffle.partitions")
             }
-            self._append_metrics(row)
-            all_metrics.append(row)
-            steps_run += 1
-            if steps_run >= min_supersteps and l1 < tolerance:
-                converged = True
-                break
+            conf.set("spark.sql.adaptive.enabled", "false")
+            conf.set("spark.sql.shuffle.partitions", str(self.num_partitions))
+        try:
+            cur_cached: DataFrame | None = None
+            last_durable = resumed_from if resumed_from is not None else -1
+            if resumed_from is not None:
+                state = self.read_state(resumed_from)
+                start_step = resumed_from + 1
+            else:
+                # superstep -1 checkpoint = the initial state, so a job
+                # killed in superstep 0 still resumes deterministically
+                if resume:
+                    state, _ = self._checkpoint_carry(init_state, -1, durable=True)
+                    cur_cached = state
+                else:
+                    state = init_state
+                start_step = 0
 
-        if prev_cached is not None:
-            # halted (or capped) on a non-durable superstep: make the final
-            # state durable so consumers and resumers see it
-            state, _ = self._write_state(prev_cached, k)
-            prev_cached.unpersist()
+            l1 = float("inf")  # the DeltaAggregator +inf sentinel, reborn
+            steps_run = 0
+            k = start_step - 1
+            all_metrics: list[dict] = []
+            converged = False
+
+            for k in range(start_step, max_supersteps):
+                ts = time.monotonic()
+                new_state = step(state, k)
+                # one full-compute action per superstep (the eager
+                # localCheckpoint); durable steps add a cheap scan-and-write
+                # of the already-materialized rows with the convergence
+                # aggregates observed on that pass
+                durable = (k + 1) % checkpoint_every == 0 or k == max_supersteps - 1
+                new_cached, agg = self._checkpoint_carry(new_state, k, durable)
+                if cur_cached is not None:
+                    cur_cached.unpersist()
+                state = cur_cached = new_cached
+                if durable:
+                    last_durable = k
+                l1 = float(agg["l1"] or 0.0)
+                wall_ms = int((time.monotonic() - ts) * 1000)
+                row = {
+                    "superstep": k,
+                    "active_vertices": int(agg["active"] or 0),
+                    "messages": int(agg["n"] or 0),
+                    "l1_delta": l1,
+                    "wall_ms": wall_ms,
+                    "num_partitions": self.num_partitions,
+                }
+                self._append_metrics(row)
+                all_metrics.append(row)
+                steps_run += 1
+                if steps_run >= min_supersteps and l1 < tolerance:
+                    converged = True
+                    break
+
+            if cur_cached is not None:
+                # hand back a durable parquet-backed frame, never the loop
+                # cache: consumers may hold result.state indefinitely
+                if last_durable != k:
+                    # halted (or capped) on a non-durable superstep: make
+                    # the final state durable so consumers and resumers
+                    # see it (cheap scan of the materialized rows)
+                    state, _ = self._write_state(cur_cached, k)
+                else:
+                    state = self.spark.read.schema(cur_cached.schema).parquet(
+                        os.path.join(
+                            _state_dir(self.checkpoint_dir, self.run_id, self.algorithm),
+                            f"superstep={last_durable}",
+                        )
+                    )
+                cur_cached.unpersist()
+        finally:
+            if saved is not None:
+                for key, val in saved.items():
+                    conf.set(key, val)
 
         return SuperstepResult(
             state=state,
