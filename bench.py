@@ -310,7 +310,8 @@ def main() -> None:
     ap.add_argument("--checkpoint-every", type=int, default=2,
                     help="durable checkpoint cadence for the edges-bench loop "
                          "(Giraph checkpointFrequency analog; in-between "
-                         "supersteps truncate lineage via in-memory persist)")
+                         "supersteps truncate lineage via partition-carrying "
+                         "localCheckpoint)")
     ap.add_argument("--scaling", action="store_true",
                     help="run at local[1]/local[4]/local[8]/local[32], write BENCH.md")
     ap.add_argument("--runs", type=int, default=3,
@@ -541,8 +542,11 @@ hub-skewed, SAME fixed 32-way data/shuffle partitioning at every level —
 on a real cluster the table's partitioning is fixed and only executor
 slots scale) at four parallelism levels, each in a fresh JVM. The job
 takes a durable checkpoint every 2 supersteps (Giraph's
-checkpointFrequency analog; in between, lineage is truncated by an
-in-memory persist) — identical cadence at every level.
+checkpointFrequency analog; every superstep is materialized by an eager
+localCheckpoint that truncates lineage AND carries the state's hash
+partitioning into the next superstep, so each superstep plans exactly
+one exchange; durable steps add a cheap scan-and-write of the
+materialized rows) — identical cadence at every level.
 Noise protocol: every level is quiet-gated on 1-min loadavg < 0.7, the
 primary-pair levels (1, 4 cores) run best-of-2 with per-algorithm max
 throughput kept (contention only ever slows a run), and each attempt

@@ -293,3 +293,94 @@ def test_tokenization_evaluated_once_per_row(spark):
     pairs = docs.select(F.col("doc_id").alias("a"), (F.col("doc_id") + 1).alias("b"))
     plan = str(ngram_jaccard(pairs, docs)._jdf.queryExecution().optimizedPlan())
     assert plan.count("split(") == 2, plan.count("split(")
+
+
+def _count_shuffle_exchanges(df) -> int:
+    """Runtime shuffle Exchange nodes in the physical plan (simple mode),
+    excluding BroadcastExchange/ReusedExchange and the exchanges embedded
+    inside an InMemoryRelation's stored plan (those materialized when the
+    cache was built and are never re-run)."""
+    plan = df._jdf.queryExecution().explainString(
+        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    n = 0
+    in_cache_subtree_indent = None
+    for line in plan.splitlines():
+        node = line.lstrip(" :+-")
+        indent = len(line) - len(node)
+        if in_cache_subtree_indent is not None:
+            if indent > in_cache_subtree_indent:
+                continue  # still inside the cached relation's stored plan
+            in_cache_subtree_indent = None
+        if node.startswith("InMemoryRelation"):
+            in_cache_subtree_indent = indent
+            continue
+        if node.startswith("Exchange "):
+            n += 1
+    return n
+
+
+def test_superstep_carry_plans_single_exchange(spark, tmp_path):
+    """The BSP loop's minimal-shuffle invariant (round 4): with planning
+    pinned (AQE off, shuffle width = iteration width P) and the state
+    carried through an eager localCheckpoint — which preserves the step
+    output's hash(vertex_id, P) partitioning in the rebased LogicalRDD —
+    a mid-loop PageRank superstep must plan exactly ONE shuffle exchange
+    (the message aggregation). Both state-side joins and the edge side
+    (cached hash(src, P)) are provably co-partitioned. A regression here
+    (a second exchange creeping in) re-inflates the serial per-superstep
+    cost that caps N->4N scaling efficiency (BENCH.md round 4: Amdahl
+    c ~3.9 s -> ~0.6 s per superstep from this property)."""
+    from sharetrace_giraph_spark import datagen
+    from sharetrace_giraph_spark.algorithms.pagerank import _prepare
+
+    P = 8
+    saved = {
+        k: spark.conf.get(k)
+        for k in ("spark.sql.adaptive.enabled", "spark.sql.shuffle.partitions")
+    }
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", str(P))
+    try:
+        canon = datagen.generate_edges(spark, 2000, 200, num_partitions=4)
+        edges = canon.union(canon.selectExpr("dst AS src", "src AS dst"))
+        verts = canon.selectExpr("src AS vertex_id").union(
+            canon.selectExpr("dst AS vertex_id")
+        ).distinct()
+        edges_w, v, n = _prepare(edges, verts, P)
+
+        def step(state):
+            msgs = (
+                edges_w.join(state.hint("shuffle_hash"), edges_w.src == state.vertex_id)
+                .select(edges_w.dst.alias("mdst"),
+                        (F.col("rank") * F.col("inv_deg")).alias("contrib"))
+            )
+            inc = msgs.groupBy("mdst").agg(F.sum("contrib").alias("contrib"))
+            joined = state.select("vertex_id", F.col("rank").alias("old_rank")).join(
+                inc.hint("shuffle_hash"), F.col("vertex_id") == F.col("mdst"), "left"
+            )
+            new_rank = F.lit(0.15 / n) + 0.85 * F.coalesce("contrib", F.lit(0.0))
+            return joined.select(
+                "vertex_id", new_rank.alias("rank"),
+                F.abs(new_rank - F.col("old_rank")).alias("delta"),
+            )
+
+        init = v.select(
+            "vertex_id", F.lit(1.0 / n).alias("rank"), F.lit(1.0).alias("delta")
+        )
+        carried = step(init).localCheckpoint(eager=True)
+        mid_loop = step(carried)
+        assert _count_shuffle_exchanges(mid_loop) == 1, _plan(mid_loop)
+
+        # contrast: a parquet round-trip forgets the partitioning, so the
+        # same step must re-exchange the state for each of its two
+        # references — the cost the carry removes
+        pq = str(tmp_path / "state")
+        carried.write.mode("overwrite").parquet(pq)
+        forgotten = step(spark.read.schema(carried.schema).parquet(pq))
+        assert _count_shuffle_exchanges(forgotten) >= 3, _plan(forgotten)
+        edges_w.unpersist()
+        v.unpersist()
+    finally:
+        for key, val in saved.items():
+            spark.conf.set(key, val)
