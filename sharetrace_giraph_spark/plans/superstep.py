@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import os
 import re
+import threading
 import time
 import uuid
 from collections.abc import Callable
@@ -140,9 +141,11 @@ class SuperstepDriver:
     """Runs ``step(state, superstep) -> new_state`` to convergence with
     per-superstep checkpoint, resume, and lineage metrics.
 
-    One Spark action per superstep (the checkpoint write); the delta/active
-    aggregation runs against the just-written parquet, so it costs a cheap
-    columnar scan, not a recompute of the superstep.
+    Critical path per superstep: ONE full-compute Spark action (the eager
+    ``localCheckpoint``, which also carries the state's partitioning into
+    the next superstep) plus a cheap in-memory delta/active aggregation;
+    durable parquet snapshots are written by a background thread that
+    overlaps the next superstep's compute (``_checkpoint_carry``).
     """
 
     def __init__(
@@ -161,6 +164,9 @@ class SuperstepDriver:
             spark.conf.get("spark.sql.shuffle.partitions")
         )
         self._tolerance = DEFAULT_TOLERANCE
+        #: in-flight async durable snapshot write: (thread, superstep)
+        self._pending_write: tuple | None = None
+        self._write_exc: BaseException | None = None
 
     # -- checkpoint I/O ------------------------------------------------------
 
@@ -199,10 +205,10 @@ class SuperstepDriver:
         """Materialize the superstep output ONCE via eager
         ``localCheckpoint`` — truncating lineage (like the parquet
         round-trip) while PRESERVING the step's ``hash(vertex_id, P)``
-        output partitioning in the rebased ``LogicalRDD`` — then, on
-        durable steps, copy the materialized rows to the parquet snapshot
-        as a cheap single-stage scan with the convergence aggregates
-        observed on that same pass.
+        output partitioning in the rebased ``LogicalRDD`` — run the
+        convergence aggregates as a cheap in-memory agg over the
+        materialized rows, and, on durable steps, copy those rows to the
+        parquet snapshot as a single-stage scan off the critical path.
 
         Why the carry matters: the old durable path continued the loop
         from a fresh parquet scan, whose partitioning Spark cannot know —
@@ -219,34 +225,65 @@ class SuperstepDriver:
 
         Durability contract is unchanged: the parquet snapshot at the
         ``checkpoint_every`` cadence is byte-equivalent to the old one;
-        executor loss still fails back to the last durable superstep."""
+        executor loss still fails back to the last durable superstep.
+
+        The durable copy runs ASYNCHRONOUSLY (one background thread,
+        Flink-style pipelined snapshotting): the loop's critical path
+        pays only the localCheckpoint + a cheap in-memory convergence
+        agg, while the parquet write of the materialized (immutable)
+        blocks overlaps the NEXT superstep's compute — on a cluster the
+        checkpoint I/O rides spare executor capacity instead of
+        serializing the loop. A snapshot is not resumable until its
+        ``_SUCCESS`` lands, so a kill mid-write falls back exactly one
+        cadence — the granularity ``checkpoint_every`` already promises.
+        ``_join_pending_write`` is called before the cached frame backing
+        a write is unpersisted, before the loop returns, and before any
+        read of the snapshot — at most one write is ever in flight."""
         cached = state.localCheckpoint(eager=True)
+        row = cached.agg(
+            F.sum(F.abs(F.col("delta"))).alias("l1"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.abs("delta") > self._tolerance, 1).otherwise(0)).alias(
+                "active"
+            ),
+        ).collect()[0]
+        agg = {"l1": row["l1"], "n": row["n"], "active": row["active"]}
         if durable:
             path = os.path.join(
                 _state_dir(self.checkpoint_dir, self.run_id, self.algorithm),
                 f"superstep={superstep}",
             )
-            obs = Observation(f"superstep-{superstep}")
-            cached.observe(
-                obs,
-                F.sum(F.abs(F.col("delta"))).alias("l1"),
-                F.count(F.lit(1)).alias("n"),
-                F.sum(F.when(F.abs("delta") > self._tolerance, 1).otherwise(0)).alias(
-                    "active"
-                ),
-            ).write.mode("overwrite").parquet(path)
-            self._append_partition_metrics(superstep, path)
-            agg = obs.get
-        else:
-            row = cached.agg(
-                F.sum(F.abs(F.col("delta"))).alias("l1"),
-                F.count(F.lit(1)).alias("n"),
-                F.sum(F.when(F.abs("delta") > self._tolerance, 1).otherwise(0)).alias(
-                    "active"
-                ),
-            ).collect()[0]
-            agg = {"l1": row["l1"], "n": row["n"], "active": row["active"]}
+
+            def _write() -> None:
+                try:
+                    cached.write.mode("overwrite").parquet(path)
+                    self._append_partition_metrics(superstep, path)
+                except BaseException as exc:  # surfaced at the next join
+                    self._write_exc = exc
+
+            self._join_pending_write()  # at most one write in flight
+            t = threading.Thread(
+                target=_write, name=f"ckpt-{self.algorithm}-{superstep}", daemon=True
+            )
+            t.start()
+            self._pending_write = (t, superstep)
         return cached, agg
+
+    def _join_pending_write(self, except_step: int | None = None) -> None:
+        """Wait for the in-flight durable snapshot write (if any) and
+        re-raise its failure — a checkpoint that silently failed must not
+        let the loop report durable progress. ``except_step``: leave that
+        superstep's write running (the loop passes the just-checkpointed
+        step so only writes reading an about-to-be-unpersisted OLDER
+        cache are waited on)."""
+        pending = self._pending_write
+        if pending is not None and pending[1] != except_step:
+            pending[0].join()
+            self._pending_write = None
+        exc = self._write_exc
+        if exc is not None:
+            self._write_exc = None
+            raise RuntimeError("durable checkpoint write failed") from exc
 
     def read_state(self, superstep: int) -> DataFrame:
         path = os.path.join(
@@ -403,12 +440,16 @@ class SuperstepDriver:
                 ts = time.monotonic()
                 new_state = step(state, k)
                 # one full-compute action per superstep (the eager
-                # localCheckpoint); durable steps add a cheap scan-and-write
-                # of the already-materialized rows with the convergence
-                # aggregates observed on that pass
+                # localCheckpoint) plus a 1-row convergence agg; durable
+                # steps launch a background scan-and-write of the already-
+                # materialized rows that overlaps the next superstep
                 durable = (k + 1) % checkpoint_every == 0 or k == max_supersteps - 1
                 new_cached, agg = self._checkpoint_carry(new_state, k, durable)
                 if cur_cached is not None:
+                    # an in-flight write of an OLDER superstep reads the
+                    # blocks we are about to free; step k's own write (the
+                    # one just launched) keeps overlapping
+                    self._join_pending_write(except_step=k)
                     cur_cached.unpersist()
                 state = cur_cached = new_cached
                 if durable:
@@ -431,6 +472,9 @@ class SuperstepDriver:
                     break
 
             if cur_cached is not None:
+                # all snapshots must be committed before the loop reports
+                # durable progress (and before the final read below)
+                self._join_pending_write()
                 # hand back a durable parquet-backed frame, never the loop
                 # cache: consumers may hold result.state indefinitely
                 if last_durable != k:
@@ -447,9 +491,14 @@ class SuperstepDriver:
                     )
                 cur_cached.unpersist()
         finally:
-            if saved is not None:
-                for key, val in saved.items():
-                    conf.set(key, val)
+            try:
+                # exception path: never leave a write racing the conf
+                # restore (or a later unpersist by the caller)
+                self._join_pending_write()
+            finally:
+                if saved is not None:
+                    for key, val in saved.items():
+                        conf.set(key, val)
 
         return SuperstepResult(
             state=state,
