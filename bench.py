@@ -634,12 +634,19 @@ Full per-cores JSON:
 ```
 """
     # preserve everything appended after the generated scaling evidence
-    # (round-over-round delta table, protocol notes) across re-runs
+    # (consecutive-run history, round-over-round delta table, protocol
+    # notes) across re-runs
     out_path = os.path.join(REPO, "BENCH.md")
     tail = ""
     if os.path.exists(out_path):
         existing = open(out_path).read()
-        idx = existing.find("## Headline per-query delta")
+        idx = min(
+            (i for i in (
+                existing.find("## Consecutive scaling runs"),
+                existing.find("## Headline per-query delta"),
+            ) if i != -1),
+            default=-1,
+        )
         if idx != -1:
             tail = "\n" + existing[idx:]
     with open(out_path, "w") as f:

@@ -98,6 +98,43 @@ def test_no_write_in_flight_after_run(spark, tmp_path):
     assert res.supersteps_run == 5
 
 
+def test_torn_snapshot_falls_back_one_cadence(spark, tmp_path):
+    """A kill mid-write leaves a snapshot directory without _SUCCESS;
+    resume must ignore it and continue from the previous committed
+    cadence — the exact granularity the async write's contract promises."""
+    drv = SuperstepDriver(
+        spark, str(tmp_path), run_id="r", algorithm="halve", num_partitions=4
+    )
+    drv.run(
+        _init_state(spark),
+        _halve_step,
+        max_supersteps=4,
+        tolerance=0.0,
+        checkpoint_every=2,
+    )
+    sdir = os.path.join(str(tmp_path), "r", "halve", "state")
+    # simulate the kill: superstep=3's files landed but _SUCCESS never did
+    os.remove(os.path.join(sdir, "superstep=3", "_SUCCESS"))
+    assert latest_committed(str(tmp_path), "r", "halve") == 1
+
+    drv2 = SuperstepDriver(
+        spark, str(tmp_path), run_id="r", algorithm="halve", num_partitions=4
+    )
+    res = drv2.run(
+        _init_state(spark),
+        _halve_step,
+        max_supersteps=4,
+        tolerance=0.0,
+        checkpoint_every=2,
+        resume=True,
+    )
+    assert res.resumed_from == 1
+    assert res.supersteps_run == 2  # re-ran exactly steps 2 and 3
+    vals = {r["vertex_id"]: r["value"] for r in res.state.collect()}
+    assert set(vals) == set(range(64))
+    assert all(abs(v - 1.0 / 16) < 1e-15 for v in vals.values())
+
+
 def test_overlapped_snapshots_content_matches_recompute(spark, tmp_path):
     """Each durable snapshot written by the background thread holds
     exactly the state the loop computed at that superstep — the overlap
