@@ -384,3 +384,55 @@ def test_superstep_carry_plans_single_exchange(spark, tmp_path):
     finally:
         for key, val in saved.items():
             spark.conf.set(key, val)
+
+
+def test_cc_frontier_step_plans_single_exchange(spark, tmp_path):
+    """Same minimal-shuffle invariant for the CC frontier step — the
+    marginal north-rule algorithm in the 40M scaling runs, so a second
+    exchange creeping into ITS superstep is the regression that would
+    hurt most. Shape mirrors algorithms/connected_components.py
+    step_frontier: frontier filter -> edge gather (co-partitioned SHJ)
+    -> min agg (THE one exchange) -> state update join (co-partitioned)."""
+    from sharetrace_giraph_spark import datagen
+    from sharetrace_giraph_spark.plans.superstep import prepare_edges
+
+    P = 8
+    saved = {
+        k: spark.conf.get(k)
+        for k in ("spark.sql.adaptive.enabled", "spark.sql.shuffle.partitions")
+    }
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", str(P))
+    try:
+        canon = datagen.generate_edges(spark, 2000, 200, num_partitions=4)
+        edges = canon.union(canon.selectExpr("dst AS src", "src AS dst")).select(
+            "src", "dst"
+        )
+        e, _ = prepare_edges(spark, edges, "src", P)
+        verts = edges.selectExpr("src AS vertex_id").distinct()
+
+        def step(state):
+            senders = state.where(F.col("delta") > 0.5)
+            msgs = e.join(
+                senders.hint("shuffle_hash"), e.src == senders.vertex_id
+            ).select(e.dst.alias("mdst"), F.col("comp"))
+            inc = msgs.groupBy("mdst").agg(F.min("comp").alias("min_nbr"))
+            new_comp = F.least("comp", F.coalesce("min_nbr", "comp"))
+            return state.join(
+                inc.hint("shuffle_hash"), state.vertex_id == F.col("mdst"), "left"
+            ).select(
+                "vertex_id",
+                new_comp.alias("comp"),
+                F.when(new_comp != F.col("comp"), 1.0).otherwise(0.0).alias("delta"),
+            )
+
+        init = verts.select(
+            "vertex_id", F.col("vertex_id").alias("comp"), F.lit(1.0).alias("delta")
+        )
+        carried = step(init).localCheckpoint(eager=True)
+        mid_loop = step(carried)
+        assert _count_shuffle_exchanges(mid_loop) == 1, _plan(mid_loop)
+        e.unpersist()
+    finally:
+        for key, val in saved.items():
+            spark.conf.set(key, val)
