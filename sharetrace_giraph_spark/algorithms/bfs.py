@@ -58,7 +58,14 @@ def bfs(
     e, num_partitions = prepare_edges(
         spark, edges.select("src", "dst"), "src", num_partitions
     )
-    verts = vertices.select("vertex_id").persist()
+    # hash-partition + materialize the vertex universe before the loop
+    # (parity with pagerank._prepare — see connected_components.py)
+    verts = (
+        vertices.select("vertex_id")
+        .repartition(num_partitions, "vertex_id")
+        .persist()
+    )
+    verts.count()
 
     hubs = None
     if salt_threshold is not None:

@@ -62,7 +62,18 @@ def connected_components(
     e, num_partitions = prepare_edges(
         spark, edges.select("src", "dst"), "src", num_partitions
     )
-    verts = vertices.select("vertex_id").persist()
+    # materialize the vertex universe BEFORE the loop, hash-partitioned
+    # at the iteration width (parity with pagerank._prepare): the init
+    # state enters superstep 0 already co-partitioned on vertex_id, and
+    # a possibly-expensive vertex derivation (e.g. a distinct over the
+    # edge table) is paid once here instead of riding superstep 0's
+    # critical path twice (both state references)
+    verts = (
+        vertices.select("vertex_id")
+        .repartition(num_partitions, "vertex_id")
+        .persist()
+    )
+    verts.count()
 
     hubs = None
     if salt_threshold is not None:

@@ -33,14 +33,21 @@ from __future__ import annotations
 
 import os
 import re
+import sys
 import threading
 import time
 import uuid
+import warnings
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Observation, SparkSession
+
+#: bounded wait for the piggybacked convergence metrics (the listener
+#: event rides Spark's shared async listener bus, which may drop events
+#: under extreme pressure — never hang the loop on it)
+_OBSERVE_TIMEOUT_S = 30.0
 
 #: reference convergence threshold (``MasterComputer.java:24``)
 DEFAULT_TOLERANCE = 1e-5
@@ -223,9 +230,21 @@ class SuperstepDriver:
         serial per-superstep cost c that caps N→4N scaling efficiency
         drops with it.
 
-        Durability contract is unchanged: the parquet snapshot at the
-        ``checkpoint_every`` cadence is byte-equivalent to the old one;
-        executor loss still fails back to the last durable superstep.
+        Durability contract: the parquet snapshot at the
+        ``checkpoint_every`` cadence is byte-equivalent to the old
+        synchronous one, and a kill/crash resumes from the last
+        committed snapshot (``run(resume=True)``). Note the RECOVERY
+        GRANULARITY, though: because ALL loop state between snapshots is
+        localCheckpoint-backed (executor-local blocks, lineage
+        truncated), an executor loss on a real cluster voids those
+        blocks and fails the whole ``run()`` — recovery is JOB-level
+        (the caller re-invokes and resume picks up from the last
+        durable superstep), not task-level. For cluster deployments
+        where executor loss is routine, ``run(durable_continuation=
+        True)`` keeps the pre-carry behavior on durable steps: the loop
+        continues from the parquet files themselves, so lost partitions
+        recompute from durable storage mid-job (at the cost of the
+        state-side re-exchanges the carry removes — see ``run``).
 
         The durable copy runs ASYNCHRONOUSLY (one background thread,
         Flink-style pipelined snapshotting): the loop's critical path
@@ -238,16 +257,26 @@ class SuperstepDriver:
         cadence — the granularity ``checkpoint_every`` already promises.
         ``_join_pending_write`` is called before the cached frame backing
         a write is unpersisted, before the loop returns, and before any
-        read of the snapshot — at most one write is ever in flight."""
-        cached = state.localCheckpoint(eager=True)
-        row = cached.agg(
+        read of the snapshot — at most one write is ever in flight.
+
+        Round 5: the convergence aggregates are PIGGYBACKED on the
+        localCheckpoint action itself via ``observe`` (the CollectMetrics
+        node computes them while the blocks materialize), so the loop's
+        critical path is ONE Spark job per superstep — the separate
+        1-stage agg job this replaces paid P task schedulings plus a
+        collect round-trip per superstep, a pure serial-floor cost."""
+        obs = Observation(
+            f"superstep-{self.algorithm}-{superstep}-{uuid.uuid4().hex[:8]}"
+        )
+        cached = state.observe(
+            obs,
             F.sum(F.abs(F.col("delta"))).alias("l1"),
             F.count(F.lit(1)).alias("n"),
             F.sum(F.when(F.abs("delta") > self._tolerance, 1).otherwise(0)).alias(
                 "active"
             ),
-        ).collect()[0]
-        agg = {"l1": row["l1"], "n": row["n"], "active": row["active"]}
+        ).localCheckpoint(eager=True)
+        agg = self._carry_metrics(cached, obs)
         if durable:
             path = os.path.join(
                 _state_dir(self.checkpoint_dir, self.run_id, self.algorithm),
@@ -268,6 +297,51 @@ class SuperstepDriver:
             t.start()
             self._pending_write = (t, superstep)
         return cached, agg
+
+    def _carry_metrics(self, cached: DataFrame, obs: Observation) -> dict:
+        """Convergence aggregates for a carried superstep. Primary
+        source: the Observation piggybacked on the checkpoint action
+        (zero extra jobs). The metrics event is delivered over Spark's
+        shared ASYNC listener bus, which can lag the action's return —
+        and, under extreme event pressure, drop events — so the wait is
+        bounded; on timeout, fall back to a direct 1-stage agg over the
+        already-materialized rows (the pre-round-5 path, always
+        correct)."""
+        deadline = time.monotonic() + _OBSERVE_TIMEOUT_S
+        while time.monotonic() < deadline:
+            jo = obs._jo
+            if jo is not None and jo.getRowOrEmpty().isDefined():
+                got = obs.get
+                return {"l1": got["l1"], "n": got["n"], "active": got["active"]}
+            time.sleep(0.005)
+        row = cached.agg(
+            F.sum(F.abs(F.col("delta"))).alias("l1"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.abs("delta") > self._tolerance, 1).otherwise(0)).alias(
+                "active"
+            ),
+        ).collect()[0]
+        return {"l1": row["l1"], "n": row["n"], "active": row["active"]}
+
+    @staticmethod
+    def _free_carry(df: DataFrame) -> None:
+        """Release a carried superstep's checkpoint blocks NOW.
+
+        ``Dataset.unpersist()`` only evicts CacheManager
+        (InMemoryRelation) entries; ``localCheckpoint`` persists the
+        underlying RDD directly, so without this the MEMORY_AND_DISK
+        blocks of superseded supersteps linger until driver GC +
+        ContextCleaner get around to them — nondeterministic
+        accumulation on long runs. The checkpointed RDD handle is
+        reachable through the rebased ``LogicalRDD`` plan node;
+        ``unpersist(blocking=false)`` frees the blocks eagerly.
+        Best-effort: any reflection failure falls back to the
+        ContextCleaner path (correctness is unaffected — only block
+        retention timing)."""
+        try:
+            df._jdf.logicalPlan().rdd().unpersist(False)
+        except Exception:
+            pass
 
     def _join_pending_write(self, except_step: int | None = None) -> None:
         """Wait for the in-flight durable snapshot write (if any) and
@@ -311,6 +385,10 @@ class SuperstepDriver:
                 "l1_delta": pa.array([float(row["l1_delta"])], pa.float64()),
                 "wall_ms": pa.array([int(row["wall_ms"])], pa.int64()),
                 "num_partitions": pa.array([int(row["num_partitions"])], pa.int32()),
+                # resume can legitimately re-run a superstep whose metrics
+                # row landed before its (async) snapshot committed —
+                # metrics() keeps the latest row per superstep by this
+                "written_at": pa.array([time.time_ns()], pa.int64()),
             }
         )
         pq.write_table(
@@ -359,9 +437,22 @@ class SuperstepDriver:
         )
 
     def metrics(self) -> DataFrame:
-        return self.spark.read.parquet(
+        """Per-superstep lineage rows, deduplicated.
+
+        The metrics row for superstep k is appended when k's COMPUTE
+        finishes — i.e. before k's durable snapshot commits when the
+        write is async. A kill in that window followed by a resume
+        re-runs k and appends a second row for the same (run_id,
+        algorithm, superstep); this read keeps the LATEST row per
+        superstep (max ``written_at``), so consumers always see one row
+        per superstep describing the attempt that actually carried the
+        run forward."""
+        raw = self.spark.read.parquet(
             _metrics_dir(self.checkpoint_dir, self.run_id, self.algorithm)
         )
+        keys = ["run_id", "algorithm", "superstep"]
+        latest = raw.groupBy(*keys).agg(F.max("written_at").alias("written_at"))
+        return raw.join(latest, keys + ["written_at"], "left_semi")
 
     def partition_metrics(self) -> DataFrame:
         return self.spark.read.parquet(
@@ -380,6 +471,7 @@ class SuperstepDriver:
         min_supersteps: int = 1,
         checkpoint_every: int = 1,
         pin_planning: bool = True,
+        durable_continuation: bool = False,
     ) -> SuperstepResult:
         """``checkpoint_every`` is Giraph's checkpointFrequency analog:
         durable (resumable) checkpoints land every k-th superstep; in
@@ -400,7 +492,22 @@ class SuperstepDriver:
         query while defeating the cross-superstep layout reuse, which is
         the dominant cost at 10^12-turn scale. Skew inside the loop is
         handled explicitly (salting hooks), not by AQE. The session confs
-        are restored on exit."""
+        are restored on exit.
+
+        ``durable_continuation`` (default off): when on, every DURABLE
+        superstep is written synchronously straight from the step's
+        lineage and the loop continues from the parquet files — so on a
+        multi-executor cluster a lost executor's partitions recompute
+        from durable storage and the job survives (task-level
+        recovery). The trade-off is the one the round-4 carry removed:
+        a parquet scan forgets its partitioning, so the superstep after
+        each durable one re-exchanges the state for its joins. Default
+        (off) keeps the minimal-shuffle carry everywhere; recovery is
+        then JOB-level — executor loss fails ``run()`` and the caller
+        re-invokes with ``resume=True`` to continue from the last
+        committed snapshot. local-mode/single-JVM deployments (where
+        executor loss and driver loss coincide) lose nothing with the
+        default."""
         t0 = time.monotonic()
         self._tolerance = tolerance
         resumed_from = latest_committed(self.checkpoint_dir, self.run_id, self.algorithm) if resume else None
@@ -439,19 +546,35 @@ class SuperstepDriver:
             for k in range(start_step, max_supersteps):
                 ts = time.monotonic()
                 new_state = step(state, k)
-                # one full-compute action per superstep (the eager
-                # localCheckpoint) plus a 1-row convergence agg; durable
-                # steps launch a background scan-and-write of the already-
-                # materialized rows that overlaps the next superstep
+                # one full-compute action per superstep: the eager
+                # localCheckpoint with the convergence agg observed on the
+                # same job; durable steps launch a background scan-and-
+                # write of the already-materialized rows that overlaps
+                # the next superstep
                 durable = (k + 1) % checkpoint_every == 0 or k == max_supersteps - 1
-                new_cached, agg = self._checkpoint_carry(new_state, k, durable)
-                if cur_cached is not None:
-                    # an in-flight write of an OLDER superstep reads the
-                    # blocks we are about to free; step k's own write (the
-                    # one just launched) keeps overlapping
-                    self._join_pending_write(except_step=k)
-                    cur_cached.unpersist()
-                state = cur_cached = new_cached
+                if durable and durable_continuation:
+                    # cluster-recovery mode: write synchronously straight
+                    # from the step lineage (task failures recompute from
+                    # the previous durable files) and continue the loop
+                    # from the files just written
+                    self._join_pending_write()
+                    new_cached, got = self._write_state(
+                        new_state, k, observe_delta=True
+                    )
+                    agg = {"l1": got["l1"], "n": got["n"], "active": got["active"]}
+                    if cur_cached is not None:
+                        self._free_carry(cur_cached)
+                    state = new_cached
+                    cur_cached = None
+                else:
+                    new_cached, agg = self._checkpoint_carry(new_state, k, durable)
+                    if cur_cached is not None:
+                        # an in-flight write of an OLDER superstep reads
+                        # the blocks we are about to free; step k's own
+                        # write (the one just launched) keeps overlapping
+                        self._join_pending_write(except_step=k)
+                        self._free_carry(cur_cached)
+                    state = cur_cached = new_cached
                 if durable:
                     last_durable = k
                 l1 = float(agg["l1"] or 0.0)
@@ -489,12 +612,25 @@ class SuperstepDriver:
                             f"superstep={last_durable}",
                         )
                     )
-                cur_cached.unpersist()
+                self._free_carry(cur_cached)
         finally:
+            # never leave a write racing the conf restore (or a later
+            # unpersist by the caller) — but if another exception is
+            # already propagating out of the loop, a JOIN failure here
+            # must not REPLACE it (the in-flight primary failure is the
+            # one worth reading; the secondary write failure is logged)
+            propagating = sys.exc_info()[1] is not None
             try:
-                # exception path: never leave a write racing the conf
-                # restore (or a later unpersist by the caller)
                 self._join_pending_write()
+            except Exception as join_exc:
+                if not propagating:
+                    raise
+                warnings.warn(
+                    "async checkpoint write also failed during teardown "
+                    f"(suppressed in favor of the primary error): {join_exc!r}",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
             finally:
                 if saved is not None:
                     for key, val in saved.items():

@@ -436,3 +436,208 @@ def test_cc_frontier_step_plans_single_exchange(spark, tmp_path):
     finally:
         for key, val in saved.items():
             spark.conf.set(key, val)
+
+
+def _pinned_planning(spark, P):
+    """Save + pin the loop-planning confs; returns the saved dict."""
+    saved = {
+        k: spark.conf.get(k)
+        for k in ("spark.sql.adaptive.enabled", "spark.sql.shuffle.partitions")
+    }
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", str(P))
+    return saved
+
+
+def _small_graph(spark, P):
+    from sharetrace_giraph_spark import datagen
+    from sharetrace_giraph_spark.plans.superstep import prepare_edges
+
+    canon = datagen.generate_edges(spark, 2000, 200, num_partitions=4)
+    edges = canon.union(canon.selectExpr("dst AS src", "src AS dst")).select(
+        "src", "dst"
+    )
+    e, _ = prepare_edges(spark, edges, "src", P)
+    verts = edges.selectExpr("src AS vertex_id").distinct()
+    return e, verts
+
+
+def test_sssp_step_plans_single_exchange(spark):
+    """SSSP shares CC's frontier shape (gather join co-partitioned, ONE
+    min-agg exchange, state-update join co-partitioned) — pin it so a
+    second exchange can't creep into its superstep unnoticed (round-4
+    verdict item: the carry's one-exchange invariant was pinned only
+    for PageRank and CC)."""
+    P = 8
+    saved = _pinned_planning(spark, P)
+    try:
+        e, verts = _small_graph(spark, P)
+        ew = e.withColumn("w", F.lit(1).cast("long"))
+
+        def step(state):
+            frontier = state.where(F.col("delta") > 0.5)
+            msgs = ew.join(
+                frontier.hint("shuffle_hash"), ew.src == frontier.vertex_id
+            ).select(ew.dst.alias("mdst"), (F.col("dist") + F.col("w")).alias("nd"))
+            inc = msgs.groupBy("mdst").agg(F.min("nd").alias("min_nd"))
+            new_dist = F.least("dist", F.coalesce("min_nd", "dist"))
+            return state.join(
+                inc.hint("shuffle_hash"), state.vertex_id == F.col("mdst"), "left"
+            ).select(
+                "vertex_id",
+                new_dist.alias("dist"),
+                F.when(new_dist != F.col("dist"), 1.0).otherwise(0.0).alias("delta"),
+            )
+
+        init = verts.select(
+            "vertex_id", F.lit(0).cast("long").alias("dist"), F.lit(1.0).alias("delta")
+        )
+        carried = step(init).localCheckpoint(eager=True)
+        mid_loop = step(carried)
+        assert _count_shuffle_exchanges(mid_loop) == 1, _plan(mid_loop)
+        e.unpersist()
+    finally:
+        for key, val in saved.items():
+            spark.conf.set(key, val)
+
+
+def test_kcore_step_plans_single_exchange(spark):
+    """k-core peeling: alive-degree count is the ONE exchange; gather and
+    state-update joins are co-partitioned under the carry."""
+    P = 8
+    saved = _pinned_planning(spark, P)
+    try:
+        e, verts = _small_graph(spark, P)
+
+        def step(state):
+            alive = state.where(F.col("alive") == 1).select("vertex_id")
+            msgs = e.join(
+                alive.hint("shuffle_hash"), e.src == alive.vertex_id
+            ).select(e.dst.alias("mdst"), F.lit(1).cast("long").alias("one"))
+            deg = msgs.groupBy("mdst").agg(F.sum("one").alias("alive_deg"))
+            survives = (F.col("alive") == 1) & (
+                F.coalesce("alive_deg", F.lit(0)) >= 3
+            )
+            new_alive = F.when(survives, 1).otherwise(0).cast("int")
+            return state.join(
+                deg.hint("shuffle_hash"), state.vertex_id == F.col("mdst"), "left"
+            ).select(
+                "vertex_id",
+                new_alive.alias("alive"),
+                F.when(new_alive != F.col("alive"), 1.0).otherwise(0.0).alias("delta"),
+            )
+
+        init = verts.select(
+            "vertex_id", F.lit(1).cast("int").alias("alive"), F.lit(1.0).alias("delta")
+        )
+        carried = step(init).localCheckpoint(eager=True)
+        mid_loop = step(carried)
+        assert _count_shuffle_exchanges(mid_loop) == 1, _plan(mid_loop)
+        e.unpersist()
+    finally:
+        for key, val in saved.items():
+            spark.conf.set(key, val)
+
+
+def test_lpa_step_plans_two_exchanges(spark):
+    """LPA's mode adoption is a TWO-level aggregate — count per
+    (dst, label), then argmax per dst — so its intended minimal shape is
+    exactly TWO exchanges per superstep (one per agg level; the gather
+    and state-update joins stay co-partitioned under the carry). Pin at
+    2 so a third exchange (e.g. a state-side re-exchange from a broken
+    carry) is caught."""
+    P = 8
+    saved = _pinned_planning(spark, P)
+    try:
+        e, verts = _small_graph(spark, P)
+
+        def step(state):
+            msgs = e.join(
+                state.hint("shuffle_hash"), e.src == state.vertex_id
+            ).select(
+                e.dst.alias("mdst"),
+                F.col("label").alias("nbr_label"),
+                F.lit(1).alias("_vote"),
+            )
+            label_counts = msgs.groupBy("mdst", "nbr_label").agg(
+                F.sum("_vote").alias("cnt")
+            )
+            mode = label_counts.groupBy("mdst").agg(
+                F.max_by(
+                    "nbr_label",
+                    F.struct(F.col("cnt"), (-F.col("nbr_label")).alias("neg")),
+                ).alias("mode_label")
+            )
+            new_label = F.coalesce("mode_label", "label")
+            return state.join(
+                mode.hint("shuffle_hash"), state.vertex_id == F.col("mdst"), "left"
+            ).select(
+                "vertex_id",
+                new_label.alias("label"),
+                F.when(new_label != F.col("label"), 1.0).otherwise(0.0).alias("delta"),
+            )
+
+        init = verts.select(
+            "vertex_id", F.col("vertex_id").alias("label"), F.lit(1.0).alias("delta")
+        )
+        carried = step(init).localCheckpoint(eager=True)
+        mid_loop = step(carried)
+        assert _count_shuffle_exchanges(mid_loop) == 2, _plan(mid_loop)
+        e.unpersist()
+    finally:
+        for key, val in saved.items():
+            spark.conf.set(key, val)
+
+
+def test_walks_step_plans_two_exchanges(spark):
+    """Random-walk steps re-key the state by its CURRENT position (cur),
+    which the carry cannot co-partition with the (start, widx)-keyed
+    output of the previous step — so the intended minimal shape is TWO
+    exchanges: the state re-key for the edge join plus the per-walk
+    min-agg. Pin at 2."""
+    P = 8
+    saved = _pinned_planning(spark, P)
+    try:
+        from sharetrace_giraph_spark.algorithms.random_walks import walk_rank
+
+        e, verts = _small_graph(spark, P)
+
+        def step(state, k):
+            st, ed = state.alias("st"), e.alias("ed")
+            frontier = st.hint("shuffle_hash").join(
+                ed.hint("shuffle_hash"), F.col("st.cur") == F.col("ed.src")
+            ).select(
+                F.col("st.start").alias("start"),
+                F.col("st.widx").alias("widx"),
+                F.col("st.cur").alias("cur"),
+                F.col("st.path").alias("path"),
+                F.col("ed.dst").alias("dst"),
+            )
+            cand = F.min(
+                F.struct(walk_rank("s", k).alias("r"), F.col("dst").alias("nbr"))
+            ).alias("m")
+            nxt = frontier.groupBy("start", "widx").agg(
+                cand, F.any_value("path").alias("path")
+            )
+            return nxt.select(
+                "start",
+                "widx",
+                F.col("m.nbr").alias("cur"),
+                F.concat("path", F.array(F.col("m.nbr"))).alias("path"),
+                F.lit(1.0).alias("delta"),
+            )
+
+        init = verts.select(
+            F.col("vertex_id").alias("start"),
+            F.lit(0).alias("widx"),
+            F.col("vertex_id").alias("cur"),
+            F.array(F.col("vertex_id")).alias("path"),
+            F.lit(1.0).alias("delta"),
+        )
+        carried = step(init, 0).localCheckpoint(eager=True)
+        mid_loop = step(carried, 1)
+        assert _count_shuffle_exchanges(mid_loop) == 2, _plan(mid_loop)
+        e.unpersist()
+    finally:
+        for key, val in saved.items():
+            spark.conf.set(key, val)
