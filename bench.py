@@ -336,6 +336,13 @@ def main() -> None:
     # be adjudicated after the fact, warn loudly when the box is busy, and
     # take best-of-N per query — MIN is the quiet-host number, mean shows
     # the noise band. Query set itself is FROZEN (unchanged since r01).
+    # Round 5: the frozen set gets the same bounded quiet-gate the scaling
+    # runner uses (the driver launches this right after a loaded session,
+    # which made every headline start with load_warning=true); the
+    # edges/docs sub-benches are gated by their parent runners already.
+    quiet_wait = 0.0
+    if not (args.edges_bench or args.docs_bench):
+        quiet_wait = _wait_for_quiet(max_load1=0.9, timeout_s=600)
     load_start = os.getloadavg()
     steal0, jiff0 = _read_cpu_jiffies()
     if load_start[0] > 1.0:
@@ -385,6 +392,7 @@ def main() -> None:
             "loadavg_start": [round(x, 2) for x in load_start],
             "loadavg_end": [round(x, 2) for x in os.getloadavg()],
             "load_warning": load_start[0] > 1.0,
+            "quiet_wait_s": quiet_wait,
             **meta,
         }
         steal1, jiff1 = _read_cpu_jiffies()

@@ -4,10 +4,18 @@ metadata, with Arrow-batched processing plumbing.
 Pattern: media rows are ``(doc_id, kind, payload: binary, meta:
 struct<...>)``; heavy per-item work (decode, resize, frame-sample,
 feature-extract) runs as ``mapInPandas`` over Arrow batches so payload
-bytes never round-trip through per-row Python. The decode step itself is
-STUBBED in this container (no image/audio libs): ``decode_media`` raises
-NotImplementedError unless a deterministic fake is requested — the Spark
-plumbing (schema, batching, partitioning) is real and tested either way.
+bytes never round-trip through per-row Python.
+
+Decode is REAL (round 5): :mod:`.mediacodec` ships dependency-free
+PNG / netpbm / WAV codecs (stdlib zlib/struct/wave + numpy) and prefers
+PIL for images when it is importable — ``extract_features(decode=True)``
+decodes pixels/samples and featurizes the DECODED content. Payloads in
+formats outside the codec floor surface per-row in an ``error`` column
+(quarantine pattern), never as a stubbed NotImplementedError.
+``decode=False`` (default) is the decode-free mode: a deterministic
+byte-histogram over the raw payload — the right tool when the payload
+is opaque or when only transport-level features are needed, and the
+mode the driver's DuckDB oracle replays exactly.
 """
 
 from __future__ import annotations
@@ -60,52 +68,124 @@ def synthesize_media(documents: DataFrame) -> DataFrame:
     )
 
 
+def synthesize_decodable_media(documents: DataFrame) -> DataFrame:
+    """Deterministic REAL media table: each doc becomes a genuine tiny
+    PNG (doc_id-seeded gradient image) or PCM16 WAV (doc_id-seeded
+    tone), encoded by :mod:`.mediacodec` inside the same Arrow batches
+    that later decode them — so the full decode path is exercisable
+    end-to-end in a container with no media fixtures and no codec
+    libraries. Same output schema as :func:`synthesize_media`."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from .mediacodec import encode_png, encode_wav
+
+        for pdf in it:
+            kinds, payloads, n_bytes, fmts = [], [], [], []
+            for doc_id in pdf["doc_id"]:
+                if doc_id % 2 == 0:
+                    side = 8 + int(doc_id) % 9
+                    y, x = np.mgrid[0:side, 0:side]
+                    img = ((x * 7 + y * 13 + int(doc_id)) % 256).astype(np.uint8)
+                    payload = encode_png(
+                        np.stack([img, img[::-1], img.T], axis=-1)
+                    )
+                    kinds.append("image")
+                    fmts.append("image/png")
+                else:
+                    t = np.arange(256 + int(doc_id) % 128)
+                    tone = (
+                        10000 * np.sin(t * (1 + int(doc_id) % 7) / 10.0)
+                    ).astype(np.int16)
+                    payload = encode_wav(tone)
+                    kinds.append("audio")
+                    fmts.append("audio/wav")
+                payloads.append(payload)
+                n_bytes.append(len(payload))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "kind": kinds,
+                    "payload": payloads,
+                    "meta": [
+                        {"n_bytes": nb, "declared_format": fm}
+                        for nb, fm in zip(n_bytes, fmts)
+                    ],
+                }
+            )
+
+    return documents.select("doc_id").mapInPandas(
+        batches, MEDIA_SCHEMA
+    )
+
+
 FEATURE_SCHEMA = (
     "doc_id long, kind string, n_bytes long, payload_md5 string, "
-    "feature array<double>"
+    "feature array<double>, error string"
 )
 
 
-def extract_features(media: DataFrame, feature_dim: int = 8, fake: bool = True) -> DataFrame:
+def extract_features(
+    media: DataFrame, feature_dim: int = 8, decode: bool = False
+) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads.
 
-    ``fake=True`` computes a deterministic byte-histogram feature (real
-    Spark plumbing, fake 'model'); ``fake=False`` is where a real
-    image/audio decoder would run — stubbed with NotImplementedError in
-    this container (no PIL/librosa baked in; gate via import-try when
-    available)."""
+    ``decode=False`` (default): deterministic byte-histogram over the
+    RAW payload bytes — decode-free transport-level features, exactly
+    replayable in SQL (the driver oracle does).
+
+    ``decode=True``: REALLY decode each payload via
+    :func:`mediacodec.decode_media` (built-in PNG/netpbm/WAV floor, PIL
+    preferred when importable) and featurize the decoded content — a
+    normalized intensity histogram for images, a normalized absolute-
+    amplitude histogram for audio. Undecodable payloads yield a NULL
+    feature and the reason in ``error`` (quarantine pattern): one bad
+    item must not fail a 100-TB batch."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
         import numpy as np
 
+        from .mediacodec import UnsupportedMediaError, decode_media
+
         for pdf in it:
-            if not fake:
-                try:
-                    import PIL  # noqa: F401
-                except ImportError as exc:  # pragma: no cover
-                    raise NotImplementedError(
-                        "real media decode needs image/audio libs not present "
-                        "in this container; use fake=True for the plumbing path"
-                    ) from exc
             n = len(pdf)
-            feats = np.zeros((n, feature_dim), dtype=np.float64)
-            md5s = []
+            feats: list = [None] * n
+            md5s, errors = [], [None] * n
             for i, payload in enumerate(pdf["payload"]):
-                buf = np.frombuffer(payload, dtype=np.uint8)
                 md5s.append(hashlib.md5(payload).hexdigest())
-                if len(buf):
-                    # byte histogram folded to feature_dim — deterministic
+                if decode:
+                    try:
+                        _kind, arr = decode_media(bytes(payload))
+                    except UnsupportedMediaError as exc:
+                        errors[i] = str(exc)
+                        continue
+                    if arr.dtype == np.int16:  # audio: |amplitude| buckets
+                        vals = (
+                            np.abs(arr.astype(np.int64)).ravel()
+                            * feature_dim
+                            // 32769
+                        )
+                    else:  # image: intensity buckets
+                        vals = arr.astype(np.int64).ravel() * feature_dim // 256
+                    hist = np.bincount(
+                        np.clip(vals, 0, feature_dim - 1), minlength=feature_dim
+                    )
+                else:
+                    buf = np.frombuffer(payload, dtype=np.uint8)
                     hist = np.bincount(buf % feature_dim, minlength=feature_dim)
-                    feats[i] = hist / len(buf)
+                total = hist.sum()
+                feats[i] = (hist / total if total else hist).astype(np.float64)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "kind": pdf["kind"],
                     "n_bytes": pdf["meta"].map(lambda m: m["n_bytes"]),
                     "payload_md5": md5s,
-                    "feature": list(feats),
+                    "feature": feats,
+                    "error": errors,
                 }
             )
 

@@ -1,0 +1,152 @@
+"""Unit tests for the dependency-free media codec floor (round 5).
+
+No Spark session needed — pure numpy/stdlib, so these run in
+milliseconds and pin the byte-level contracts: pixel-exact PNG
+round-trip, decode of all five PNG scanline filters (encoded by hand,
+since our encoder only emits filter 0), netpbm and WAV round-trips, and
+loud UnsupportedMediaError on everything outside the floor.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from sharetrace_giraph_spark.operators.mediacodec import (
+    UnsupportedMediaError,
+    decode_media,
+    decode_netpbm,
+    decode_png,
+    decode_wav,
+    encode_netpbm,
+    encode_png,
+    encode_wav,
+)
+
+
+def _rng_img(h, w, c=None, seed=7):
+    rng = np.random.default_rng(seed)
+    shape = (h, w) if c is None else (h, w, c)
+    return rng.integers(0, 256, size=shape, dtype=np.uint8)
+
+
+@pytest.mark.parametrize("channels", [None, 2, 3, 4])
+def test_png_roundtrip_pixel_exact(channels):
+    img = _rng_img(13, 17, channels)
+    out = decode_png(encode_png(img))
+    assert out.shape == img.shape
+    assert np.array_equal(out, img)
+
+
+def test_png_all_filter_types_decode():
+    """Hand-encode one scanline per filter type (the inverse transforms
+    from the PNG spec) and check the decoder reconstructs the image."""
+    img = _rng_img(5, 9, 3, seed=11)
+    h, w, c = img.shape
+    stride = w * c
+
+    rows = []
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        cur = img[y].reshape(-1)
+        ftype = y % 5
+        if ftype == 0:
+            enc = cur.copy()
+        elif ftype == 1:  # Sub
+            left = np.concatenate([np.zeros(c, np.uint8), cur[:-c]])
+            enc = cur - left
+        elif ftype == 2:  # Up
+            enc = cur - prev
+        elif ftype == 3:  # Average
+            left = np.concatenate([np.zeros(c, np.uint8), cur[:-c]])
+            enc = cur - (
+                (left.astype(np.int16) + prev.astype(np.int16)) // 2
+            ).astype(np.uint8)
+        else:  # Paeth
+            left = np.concatenate([np.zeros(c, np.uint8), cur[:-c]])
+            ul = np.concatenate([np.zeros(c, np.uint8), prev[:-c]])
+            a16, b16, c16 = (
+                left.astype(np.int16),
+                prev.astype(np.int16),
+                ul.astype(np.int16),
+            )
+            p = a16 + b16 - c16
+            pa, pb, pc = np.abs(p - a16), np.abs(p - b16), np.abs(p - c16)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, ul)
+            ).astype(np.uint8)
+            enc = cur - pred
+        rows.append(bytes([ftype]) + enc.tobytes())
+        prev = cur
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    data = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"".join(rows)))
+        + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(data), img)
+
+
+@pytest.mark.parametrize("channels", [None, 3])
+def test_netpbm_roundtrip(channels):
+    img = _rng_img(6, 4, channels)
+    assert np.array_equal(decode_netpbm(encode_netpbm(img)), img)
+
+
+@pytest.mark.parametrize("stereo", [False, True])
+def test_wav_roundtrip(stereo):
+    rng = np.random.default_rng(3)
+    shape = (500, 2) if stereo else (500,)
+    samples = rng.integers(-32768, 32767, size=shape, dtype=np.int16)
+    out, rate = decode_wav(encode_wav(samples, sample_rate=8000))
+    assert rate == 8000
+    assert np.array_equal(out, samples)
+
+
+def test_decode_media_dispatch():
+    img = _rng_img(4, 4, 3)
+    kind, arr = decode_media(encode_png(img))
+    assert kind == "image" and np.array_equal(arr, img)
+    kind, arr = decode_media(encode_netpbm(img))
+    assert kind == "image" and np.array_equal(arr, img)
+    tone = (1000 * np.sin(np.arange(64) / 3.0)).astype(np.int16)
+    kind, arr = decode_media(encode_wav(tone))
+    assert kind == "audio" and np.array_equal(arr, tone)
+
+
+@pytest.mark.parametrize(
+    "payload",
+    [
+        b"plain text, no magic",
+        b"\x89PNG\r\n\x1a\nbut-truncated",
+        b"RIFFxxxxWAVEnot-really",
+    ],
+)
+def test_unsupported_payloads_raise(payload):
+    with pytest.raises(UnsupportedMediaError):
+        decode_media(payload)
+
+
+def test_png_16bit_rejected_not_misdecoded():
+    img = _rng_img(3, 3)
+    data = bytearray(encode_png(img))
+    # flip the IHDR bit-depth byte (offset: 8 sig + 8 len/tag + 8 w/h)
+    assert data[24] == 8
+    data[24] = 16
+    # fix the IHDR crc so only the depth is wrong
+    body = bytes(data[16:29])
+    data[29:33] = struct.pack(">I", zlib.crc32(b"IHDR" + body) & 0xFFFFFFFF)
+    with pytest.raises(UnsupportedMediaError, match="8-bit"):
+        decode_png(bytes(data))
