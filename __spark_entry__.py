@@ -1852,7 +1852,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the round-4 verdict's explicit request (item 7: assert the HLL
     estimation-mode tolerance band under the driver, not only in pytest).
     The pytest oracle twin (tests/test_entry_oracle.py) still runs all
-    85 against DuckDB every round regardless of order."""
+    86 against DuckDB every round regardless of order."""
     return {
         # --- window A (r05 rotation): the 35 entries NOT in CORRECTNESS_r04
         # (their latest driver row is r02/r03) run first, so at final
@@ -1916,7 +1916,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theta_self_join_pairs": q_theta_self_join_pairs,
         "sessionize": q_sessionize,
         # --- r04 triple-green, code unchanged since; the pytest oracle
-        # twin (tests/test_entry_oracle.py) still runs all 85 every round ---
+        # twin (tests/test_entry_oracle.py) still runs all 86 every round ---
         "graph_strength_topk": q_graph_strength_topk,
         "graph_triangles": q_graph_triangles,
         "graph_clustering": q_graph_clustering,
