@@ -387,8 +387,13 @@ def q_graph_diameter_hll_band(spark, sf_dir):
     - ``within_3sigma``: |NF_est(r) − NF_exact(r)| / NF_exact(r) ≤ 0.39,
       the THEORETICAL 3σ band for lg_k=6 (3 · 1.04/√64 = 0.39, Flajolet
       et al. / Datasketches published error). Measured at sf0.01: max
-      14.1% — well inside. Deterministic (HLL register-max union is
-      order-independent; same input → same estimate).
+      14.1%, identical at local[8]/8 and local[32]/32 — well inside.
+      NOTE the honest robustness story: Datasketches estimates are not
+      bit-invariant to physical layout (HIP vs composite estimator on
+      small sparse sketches — pinned by tests/test_graph_algorithms.py::
+      test_hll_estimates_partitioning_band), but per-radius TOTALS, the
+      only quantity these booleans read, move well under the band's
+      25-point margin across layouts (measured: 0%).
     - ``left_coupon_mode``: at every radius ≥ 1 the rounded estimate
       differs from exact — proof the sketch actually estimated (balls of
       117..150 vs 64 registers); radius 0 (singleton balls) stays exact.
