@@ -30,6 +30,13 @@ import zlib
 
 import numpy as np
 
+try:  # probed ONCE: Python does not cache failed imports, and decode_media
+    # runs per payload inside Arrow batches — a per-row sys.path scan when
+    # PIL is absent would be pure hot-path overhead
+    from PIL import Image as _PILImage
+except ImportError:
+    _PILImage = None
+
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 #: PNG color type -> channel count (8-bit only; 3 = palette, unsupported)
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
@@ -96,6 +103,8 @@ def decode_png(data: bytes) -> np.ndarray:
         body = data[pos + 8 : pos + 8 + length]
         pos += 12 + length  # length + tag + body + crc
         if tag == b"IHDR":
+            if len(body) != 13:
+                raise UnsupportedMediaError("truncated PNG IHDR")
             ihdr = struct.unpack(">IIBBBBB", body)
         elif tag == b"IDAT":
             idat.append(body)
@@ -111,7 +120,10 @@ def decode_png(data: bytes) -> np.ndarray:
     if interlace != 0:
         raise UnsupportedMediaError("interlaced PNG unsupported")
     c = _PNG_CHANNELS[color_type]
-    raw = zlib.decompress(b"".join(idat))
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as exc:  # valid signature, corrupt IDAT stream
+        raise UnsupportedMediaError(f"corrupt PNG IDAT: {exc}") from exc
     stride = w * c
     if len(raw) != h * (stride + 1):
         raise UnsupportedMediaError("PNG scanline data has wrong length")
@@ -176,26 +188,34 @@ def decode_netpbm(data: bytes) -> np.ndarray:
     if data[:2] not in (b"P5", b"P6"):
         raise UnsupportedMediaError("not a binary netpbm (P5/P6)")
     channels = 1 if data[:2] == b"P5" else 3
-    # header: magic, width, height, maxval — whitespace/comment separated
-    tokens, pos = [], 2
-    while len(tokens) < 3:
-        while pos < len(data) and data[pos : pos + 1].isspace():
-            pos += 1
-        if data[pos : pos + 1] == b"#":  # comment to end of line
-            while pos < len(data) and data[pos] != 0x0A:
+    try:
+        # header: magic, width, height, maxval — whitespace/comment separated
+        tokens, pos = [], 2
+        while len(tokens) < 3:
+            while pos < len(data) and data[pos : pos + 1].isspace():
                 pos += 1
-            continue
-        start = pos
-        while pos < len(data) and not data[pos : pos + 1].isspace():
-            pos += 1
-        tokens.append(int(data[start:pos]))
-    pos += 1  # single whitespace after maxval
-    w, h, maxval = tokens
-    if maxval > 255:
-        raise UnsupportedMediaError("16-bit netpbm unsupported")
-    n = w * h * channels
-    arr = np.frombuffer(data, dtype=np.uint8, count=n, offset=pos)
-    return arr.reshape((h, w) if channels == 1 else (h, w, 3)).copy()
+            if data[pos : pos + 1] == b"#":  # comment to end of line
+                while pos < len(data) and data[pos] != 0x0A:
+                    pos += 1
+                continue
+            start = pos
+            while pos < len(data) and not data[pos : pos + 1].isspace():
+                pos += 1
+            tokens.append(int(data[start:pos]))
+        pos += 1  # single whitespace after maxval
+        w, h, maxval = tokens
+        if maxval > 255:
+            raise UnsupportedMediaError("16-bit netpbm unsupported")
+        n = w * h * channels
+        arr = np.frombuffer(data, dtype=np.uint8, count=n, offset=pos)
+        return arr.reshape((h, w) if channels == 1 else (h, w, 3)).copy()
+    except UnsupportedMediaError:
+        raise
+    except (ValueError, IndexError) as exc:
+        # valid P5/P6 magic but a truncated/garbled header or body:
+        # int(b"") on a header that runs out, or frombuffer/reshape on a
+        # payload shorter than w*h*channels
+        raise UnsupportedMediaError(f"corrupt netpbm payload: {exc}") from exc
 
 
 # --- WAV (PCM16) -------------------------------------------------------------
@@ -223,13 +243,30 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
             n_ch = f.getnchannels()
             rate = f.getframerate()
             raw = f.readframes(f.getnframes())
-    except wave.Error as exc:
+    except (wave.Error, EOFError, struct.error) as exc:
+        # wave's chunk parser surfaces EOFError/struct.error on payloads
+        # truncated mid-header — same data-error class as wave.Error
         raise UnsupportedMediaError(f"not a readable WAV: {exc}") from exc
     arr = np.frombuffer(raw, dtype=np.int16)
     return (arr if n_ch == 1 else arr.reshape(-1, n_ch)).copy(), rate
 
 
 # --- dispatcher --------------------------------------------------------------
+
+
+def _pil_decode(payload: bytes) -> np.ndarray | None:
+    """Best-effort PIL decode; ``None`` when PIL is absent OR cannot
+    parse the payload (UnidentifiedImageError, truncation, ...) — the
+    caller falls through to the built-in floor / the quarantine error.
+    Never lets a PIL exception escape: the quarantine contract must not
+    depend on which optional decoder is installed."""
+    if _PILImage is None:
+        return None
+    try:
+        with _PILImage.open(io.BytesIO(payload)) as im:
+            return np.asarray(im)
+    except Exception:
+        return None
 
 
 def decode_media(payload: bytes) -> tuple[str, np.ndarray]:
@@ -239,31 +276,22 @@ def decode_media(payload: bytes) -> tuple[str, np.ndarray]:
     or ``"audio"`` with an int16 sample array. Prefers PIL for images
     when importable (covers JPEG/WebP/...); otherwise uses the built-in
     PNG/netpbm floor. Raises :class:`UnsupportedMediaError` for anything
-    else — a data error the caller routes to a quarantine column, never
-    a stubbed NotImplementedError."""
+    else — including corrupt payloads behind a valid signature — a data
+    error the caller routes to a quarantine column, never a stubbed
+    NotImplementedError or a raw codec exception."""
     if payload.startswith(_PNG_SIG) or payload[:2] in (b"P5", b"P6"):
-        try:
-            from PIL import Image  # optional fast path
-
-            with Image.open(io.BytesIO(payload)) as im:
-                return "image", np.asarray(im)
-        except ImportError:
-            pass
+        img = _pil_decode(payload)  # optional fast path
+        if img is not None:
+            return "image", img
         if payload.startswith(_PNG_SIG):
             return "image", decode_png(payload)
         return "image", decode_netpbm(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "audio", decode_wav(payload)[0]
     # non-PNG/netpbm image formats (JPEG etc.) when PIL is present
-    try:
-        from PIL import Image
-
-        with Image.open(io.BytesIO(payload)) as im:
-            return "image", np.asarray(im)
-    except ImportError:
-        pass
-    except Exception:  # PIL couldn't sniff it either
-        pass
+    img = _pil_decode(payload)
+    if img is not None:
+        return "image", img
     raise UnsupportedMediaError(
         "payload is not a decodable format (PNG/PGM/PPM/WAV built-in"
         "; more via PIL when installed)"

@@ -177,6 +177,20 @@ class SuperstepDriver:
 
     # -- checkpoint I/O ------------------------------------------------------
 
+    def _convergence_cols(self):
+        """THE convergence definition — the single source for every path
+        that computes it (observe piggyback on the carry, observe on the
+        durable-continuation write, and the listener-bus-timeout fallback
+        agg): L1 delta, message count, and the active-vertex count under
+        the run's tolerance."""
+        return (
+            F.sum(F.abs(F.col("delta"))).alias("l1"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.abs("delta") > self._tolerance, 1).otherwise(0)
+            ).alias("active"),
+        )
+
     def _write_state(
         self, state: DataFrame, superstep: int, observe_delta: bool = False
     ):
@@ -189,24 +203,20 @@ class SuperstepDriver:
         )
         obs = None
         if observe_delta:
-            obs = Observation(f"superstep-{superstep}")
-            state = state.observe(
-                obs,
-                F.sum(F.abs(F.col("delta"))).alias("l1"),
-                F.count(F.lit(1)).alias("n"),
-                F.sum(F.when(F.abs("delta") > self._tolerance, 1).otherwise(0)).alias(
-                    "active"
-                ),
+            obs = Observation(
+                f"superstep-{self.algorithm}-{superstep}-{uuid.uuid4().hex[:8]}"
             )
+            state = state.observe(obs, *self._convergence_cols())
         state.write.mode("overwrite").parquet(path)
         self._append_partition_metrics(superstep, path)
         # read back with the known schema: skips the driver-side footer
         # schema-inference pass — a fixed per-superstep cost that dilutes
-        # scaling efficiency (it is identical wall at every core count)
-        return (
-            self.spark.read.schema(state.schema).parquet(path),
-            (obs.get if obs is not None else None),
-        )
+        # scaling efficiency (it is identical wall at every core count).
+        # The raw Observation is returned (NOT obs.get): .get blocks with
+        # no timeout on the async listener bus — the caller resolves it
+        # via _carry_metrics, which bounds the wait and falls back to a
+        # direct agg over the read-back frame.
+        return self.spark.read.schema(state.schema).parquet(path), obs
 
     def _checkpoint_carry(self, state: DataFrame, superstep: int, durable: bool):
         """Materialize the superstep output ONCE via eager
@@ -268,14 +278,9 @@ class SuperstepDriver:
         obs = Observation(
             f"superstep-{self.algorithm}-{superstep}-{uuid.uuid4().hex[:8]}"
         )
-        cached = state.observe(
-            obs,
-            F.sum(F.abs(F.col("delta"))).alias("l1"),
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.when(F.abs("delta") > self._tolerance, 1).otherwise(0)).alias(
-                "active"
-            ),
-        ).localCheckpoint(eager=True)
+        cached = state.observe(obs, *self._convergence_cols()).localCheckpoint(
+            eager=True
+        )
         agg = self._carry_metrics(cached, obs)
         if durable:
             path = os.path.join(
@@ -299,8 +304,10 @@ class SuperstepDriver:
         return cached, agg
 
     def _carry_metrics(self, cached: DataFrame, obs: Observation) -> dict:
-        """Convergence aggregates for a carried superstep. Primary
-        source: the Observation piggybacked on the checkpoint action
+        """Convergence aggregates for a completed superstep (carried or
+        durable-continuation — ``cached`` is whatever frame the loop
+        continues from: localCheckpoint blocks or the parquet read-back).
+        Primary source: the Observation piggybacked on the checkpoint action
         (zero extra jobs). The metrics event is delivered over Spark's
         shared ASYNC listener bus, which can lag the action's return —
         and, under extreme event pressure, drop events — so the wait is
@@ -314,13 +321,7 @@ class SuperstepDriver:
                 got = obs.get
                 return {"l1": got["l1"], "n": got["n"], "active": got["active"]}
             time.sleep(0.005)
-        row = cached.agg(
-            F.sum(F.abs(F.col("delta"))).alias("l1"),
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.when(F.abs("delta") > self._tolerance, 1).otherwise(0)).alias(
-                "active"
-            ),
-        ).collect()[0]
+        row = cached.agg(*self._convergence_cols()).collect()[0]
         return {"l1": row["l1"], "n": row["n"], "active": row["active"]}
 
     @staticmethod
@@ -446,9 +447,21 @@ class SuperstepDriver:
         algorithm, superstep); this read keeps the LATEST row per
         superstep (max ``written_at``), so consumers always see one row
         per superstep describing the attempt that actually carried the
-        run forward."""
-        raw = self.spark.read.parquet(
+        run forward.
+
+        Directories written before ``written_at`` existed (or resumed
+        runs mixing old and new files) still read correctly: the merged
+        schema surfaces the column for all files, old rows get 0 — so
+        they lose any tie against a re-run row (the desired outcome) and
+        are never dropped by the null-vs-null semi-join an unguarded
+        read would produce."""
+        raw = self.spark.read.option("mergeSchema", "true").parquet(
             _metrics_dir(self.checkpoint_dir, self.run_id, self.algorithm)
+        )
+        if "written_at" not in raw.columns:  # pure pre-upgrade directory
+            return raw
+        raw = raw.withColumn(
+            "written_at", F.coalesce("written_at", F.lit(0).cast("long"))
         )
         keys = ["run_id", "algorithm", "superstep"]
         latest = raw.groupBy(*keys).agg(F.max("written_at").alias("written_at"))
@@ -558,10 +571,14 @@ class SuperstepDriver:
                     # the previous durable files) and continue the loop
                     # from the files just written
                     self._join_pending_write()
-                    new_cached, got = self._write_state(
+                    new_cached, obs = self._write_state(
                         new_state, k, observe_delta=True
                     )
-                    agg = {"l1": got["l1"], "n": got["n"], "active": got["active"]}
+                    # bounded wait + fallback agg over the durable files —
+                    # never the unbounded obs.get (a dropped listener-bus
+                    # event would hang the run on exactly the loaded
+                    # clusters durable_continuation targets)
+                    agg = self._carry_metrics(new_cached, obs)
                     if cur_cached is not None:
                         self._free_carry(cur_cached)
                     state = new_cached

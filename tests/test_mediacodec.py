@@ -150,3 +150,38 @@ def test_png_16bit_rejected_not_misdecoded():
     data[29:33] = struct.pack(">I", zlib.crc32(b"IHDR" + body) & 0xFFFFFFFF)
     with pytest.raises(UnsupportedMediaError, match="8-bit"):
         decode_png(bytes(data))
+
+
+@pytest.mark.parametrize(
+    "payload",
+    [
+        # valid PNG signature + well-formed IHDR, but IDAT is not zlib
+        pytest.param(
+            b"\x89PNG\r\n\x1a\n"
+            + struct.pack(">I", 13) + b"IHDR"
+            + struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0) + b"\x00" * 4
+            + struct.pack(">I", 7) + b"IDAT" + b"garbage" + b"\x00" * 4
+            + struct.pack(">I", 0) + b"IEND" + b"\x00" * 4,
+            id="png-corrupt-idat",
+        ),
+        # valid PNG signature, IHDR body shorter than 13 bytes
+        pytest.param(
+            b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 4) + b"IHDR" + b"\x00" * 8,
+            id="png-short-ihdr",
+        ),
+        # bare netpbm magic: header parse hits int(b"")
+        pytest.param(b"P5", id="netpbm-bare-magic"),
+        # netpbm header ok but body shorter than w*h
+        pytest.param(b"P5\n4 4\n255\nxy", id="netpbm-truncated-body"),
+        # RIFF/WAVE magic, truncated mid-header (wave raises EOFError)
+        pytest.param(b"RIFF\x24\x00\x00\x00WAVEfmt ", id="wav-truncated-header"),
+    ],
+)
+def test_corrupt_payloads_behind_valid_magic_quarantine(payload):
+    """The quarantine contract: a corrupt payload behind a VALID format
+    signature must surface as UnsupportedMediaError (which
+    extract_features(decode=True) routes to the error column), never a
+    raw zlib.error/struct.error/ValueError/EOFError that would fail the
+    whole Spark task."""
+    with pytest.raises(UnsupportedMediaError):
+        decode_media(payload)

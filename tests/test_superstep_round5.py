@@ -182,3 +182,55 @@ def test_superseded_carries_release_blocks(spark, tmp_path):
     while persisted_rdds() > base and time.monotonic() < deadline:
         time.sleep(0.1)
     assert persisted_rdds() <= base, sc._jsc.sc().getRDDStorageInfo()
+
+
+def test_metrics_reads_legacy_files_without_written_at(spark, tmp_path):
+    """Metrics dirs written before the written_at column existed (or a
+    resumed run mixing old and new files) must read without dropping the
+    legacy rows: an unguarded max/semi-join on a null written_at would
+    silently lose them."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    drv = SuperstepDriver(spark, str(tmp_path), "d", "halve", num_partitions=4)
+    drv.run(_init_state(spark), _halve_step, max_supersteps=2,
+            tolerance=0.0, checkpoint_every=1)
+    mdir = os.path.join(str(tmp_path), "d", "halve", "metrics")
+    # a pre-upgrade row for a superstep the new files don't have
+    legacy = pa.table({
+        "run_id": pa.array(["d"], pa.string()),
+        "algorithm": pa.array(["halve"], pa.string()),
+        "superstep": pa.array([7], pa.int32()),
+        "active_vertices": pa.array([1], pa.int64()),
+        "messages": pa.array([1], pa.int64()),
+        "l1_delta": pa.array([0.5], pa.float64()),
+        "wall_ms": pa.array([10], pa.int64()),
+        "num_partitions": pa.array([4], pa.int32()),
+    })
+    pq.write_table(legacy, os.path.join(mdir, "superstep-7-legacy.parquet"))
+    rows = {r.superstep: r for r in drv.metrics().collect()}
+    assert sorted(rows) == [0, 1, 7], sorted(rows)  # legacy row survives
+    # and a legacy duplicate of a re-run superstep loses the tie
+    legacy0 = legacy.set_column(
+        2, "superstep", pa.array([0], pa.int32())
+    ).set_column(4, "messages", pa.array([999], pa.int64()))
+    pq.write_table(legacy0, os.path.join(mdir, "superstep-0-legacy.parquet"))
+    rows = {r.superstep: r for r in drv.metrics().collect()}
+    assert rows[0].messages != 999  # the new attempt's row wins
+
+
+def test_durable_continuation_convergence_agg_is_bounded(spark, tmp_path, monkeypatch):
+    """durable_continuation's convergence aggregates must survive a
+    dropped Observation event (async listener bus under pressure): the
+    bounded wait falls back to a direct agg over the durable files
+    instead of hanging forever on obs.get."""
+    import sharetrace_giraph_spark.plans.superstep as ss
+
+    monkeypatch.setattr(ss, "_OBSERVE_TIMEOUT_S", 0.0)  # force the fallback
+    drv = SuperstepDriver(spark, str(tmp_path), "d", "halve", num_partitions=4)
+    res = drv.run(_init_state(spark), _halve_step, max_supersteps=3,
+                  tolerance=0.0, checkpoint_every=1, resume=False,
+                  durable_continuation=True)
+    m = {r.superstep: r for r in drv.metrics().collect()}
+    assert res.supersteps_run == 3
+    assert all(m[k].messages > 0 for k in (0, 1, 2))  # real aggregates
