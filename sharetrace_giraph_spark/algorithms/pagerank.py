@@ -128,6 +128,7 @@ def pagerank(
             "left_anti",
         ).persist()
         if dangling.isEmpty():
+            dangling.unpersist()
             dangling = None
 
     personalized = teleport is not None
@@ -231,6 +232,15 @@ def pagerank(
     result = driver.run(init, step, max_supersteps=max_supersteps, tolerance=tolerance, resume=resume, checkpoint_every=checkpoint_every)
     edges_w.unpersist()
     verts.unpersist()
+    # release the loop's static caches — a long-lived session (the driver
+    # contract / bench loop) calls pagerank repeatedly, and each leaked
+    # frame pins executor storage memory for the session's lifetime
+    if hubs is not None:
+        hubs.unpersist()
+    if dangling is not None:
+        dangling.unpersist()
+    if kernel == "csr":
+        blocked.unpersist()
     return result
 
 
@@ -261,6 +271,14 @@ def _csr_messages(blocked: DataFrame, state: DataFrame, num_partitions: int) -> 
         inv = edf["inv_deg"].to_numpy(dtype="float64")
 
         idx = np.searchsorted(vid, src)
+        # drop edges whose src is absent from the state block — the same
+        # semantics as the relational kernel's inner join. Unchecked,
+        # searchsorted's insertion index would read a NEIGHBORING vertex's
+        # rank (silent corruption) or fall off the end (IndexError).
+        idx = np.minimum(idx, len(vid) - 1)
+        present = vid[idx] == src
+        if not present.all():
+            idx, dst, inv = idx[present], dst[present], inv[present]
         contrib = rank[idx] * inv
 
         udst, dinv = np.unique(dst, return_inverse=True)

@@ -75,6 +75,13 @@ def shortest_paths(
         hubs.count()
 
     src_set = sources.select("vertex_id").distinct()
+    # guard the same failure pagerank's personalized path guards: a seed
+    # set disjoint from the vertex universe (typo / id-encoding mismatch)
+    # would otherwise produce an empty first frontier and an instantly
+    # "converged" run with every vertex UNREACHED — plausible-looking,
+    # silently wrong output
+    if src_set.join(verts, "vertex_id", "left_semi").isEmpty():
+        raise ValueError("source set has no vertex in the graph")
     init = verts.join(src_set.withColumn("_is_src", F.lit(True)), "vertex_id", "left").select(
         "vertex_id",
         F.when(F.col("_is_src"), F.lit(0)).otherwise(F.lit(UNREACHED))

@@ -66,17 +66,17 @@ def _cap_buckets(
     was cut (the no-silent-caps rule); leave False on hot paths."""
     if max_bucket_size is None:
         return keyed
-    if log_dropped:
-        # The census below is its own Spark action; without a cache it
-        # would recompute the full upstream signature pipeline (shingle
-        # explode + k min-hash aggs) a SECOND time when the caller runs
-        # the returned plan — measured 2x wall on the sf0.1 LSH query.
-        # The bucket-key frame is narrow (id, bucket cols) and O(docs ×
-        # bands), so persist it, point the census at the cache, and leave
-        # it live for the caller's action.
-        release_cached()
-        keyed = keyed.persist()
-        _LAST_KEYED.append(keyed)
+    # `keyed` feeds BOTH the bucket-size census and the probe side of the
+    # semi-join below — uncached, the full upstream signature pipeline
+    # (shingle explode + k min-hash aggs) runs twice even in a single
+    # action, because the census's partial agg sits below its exchange
+    # and defeats ReuseExchange (measured 2x wall on the sf0.1 LSH
+    # query). The bucket-key frame is narrow (id, bucket cols) and
+    # O(docs × bands), so persist it for every capped call — quiet or
+    # loud — and leave it live for the caller's action.
+    release_cached()
+    keyed = keyed.persist()
+    _LAST_KEYED.append(keyed)
     sizes = keyed.groupBy(*bucket_cols).agg(F.count(F.lit(1)).alias("bucket_n"))
     if log_dropped:
         dropped = sizes.where(F.col("bucket_n") > max_bucket_size).agg(
@@ -149,6 +149,13 @@ def minhash_signatures(
 def _banded_keys(
     signatures: DataFrame, id_col: str, num_hashes: int, bands: int
 ) -> DataFrame:
+    if num_hashes % bands != 0:
+        # the module's no-silent-caps rule: flooring would quietly ignore
+        # the trailing num_hashes % bands min-hashes and shift the LSH
+        # s-curve the caller tuned for
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must divide evenly into bands ({bands})"
+        )
     rows = num_hashes // bands
     band_cols = [
         F.struct(

@@ -235,6 +235,10 @@ def _tool_cooccurrence(
 # Vertex encoding: string actor ids → dense longs for the iteration kernels.
 # ---------------------------------------------------------------------------
 
+#: the range-partitioned frame backing the most recent dense_ids call —
+#: downstream consumers re-scan it, so it stays live until the NEXT call
+_IDS_CACHE: list = []
+
 
 def dense_ids(
     rows: DataFrame, key: str, out: str = "vertex_id", num_partitions: int | None = None
@@ -262,12 +266,21 @@ def dense_ids(
         num_partitions = max(1, min(conf, -(-n_rows // 100_000)))
     # persisted: (a) the count pass and the id pass must see the SAME range
     # boundaries; (b) downstream consumers re-evaluate this frame several
-    # times (encode join, init state) and must not replay rows' lineage
+    # times (encode join, init state) and must not replay rows' lineage.
+    # One live cache per call site (same discipline as _SPANS_CACHE): a
+    # long session assigning ids repeatedly must not accumulate pinned
+    # frames. Eviction-safety note: even if a block is dropped and
+    # recomputed, RangePartitioner's sample seed derives from the fixed
+    # RDD id, so the recomputed boundaries — and therefore the ids —
+    # are identical.
+    while _IDS_CACHE:
+        _IDS_CACHE.pop().unpersist()
     parts = (
         rows.repartitionByRange(num_partitions, key)
         .withColumn("_pid", F.spark_partition_id())
         .persist()
     )
+    _IDS_CACHE.append(parts)
     counts = sorted(
         (r["_pid"], r["n"])
         for r in parts.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()

@@ -40,6 +40,11 @@ except ImportError:
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 #: PNG color type -> channel count (8-bit only; 3 = palette, unsupported)
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+#: decompression cap for untrusted payloads: a ~40 KB zip-bomb PNG whose
+#: header declares matching giant dimensions must quarantine, not OOM the
+#: executor (256 MiB of raw scanlines ≈ an 8k×8k RGBA frame — far above
+#: any sane inline payload, far below executor memory)
+_MAX_DECODED_BYTES = 1 << 28
 
 
 class UnsupportedMediaError(ValueError):
@@ -120,12 +125,19 @@ def decode_png(data: bytes) -> np.ndarray:
     if interlace != 0:
         raise UnsupportedMediaError("interlaced PNG unsupported")
     c = _PNG_CHANNELS[color_type]
+    stride = w * c
+    expected = h * (stride + 1)
+    if expected > _MAX_DECODED_BYTES:
+        raise UnsupportedMediaError(
+            f"PNG dimensions {w}x{h}x{c} exceed the built-in decoder cap"
+        )
     try:
-        raw = zlib.decompress(b"".join(idat))
+        # bounded decompress: request at most expected+1 bytes so a
+        # decompression bomb raises here instead of exhausting memory
+        raw = zlib.decompressobj().decompress(b"".join(idat), expected + 1)
     except zlib.error as exc:  # valid signature, corrupt IDAT stream
         raise UnsupportedMediaError(f"corrupt PNG IDAT: {exc}") from exc
-    stride = w * c
-    if len(raw) != h * (stride + 1):
+    if len(raw) != expected:
         raise UnsupportedMediaError("PNG scanline data has wrong length")
 
     out = np.zeros((h, stride), dtype=np.uint8)
@@ -207,7 +219,14 @@ def decode_netpbm(data: bytes) -> np.ndarray:
         if maxval > 255:
             raise UnsupportedMediaError("16-bit netpbm unsupported")
         n = w * h * channels
-        arr = np.frombuffer(data, dtype=np.uint8, count=n, offset=pos)
+        # end-anchor the raster: exactly n bytes from the END, with only
+        # whitespace allowed between header and raster. Tolerates a CRLF-
+        # terminated header but REJECTS size mismatches — offset-anchored
+        # reading would silently decode byte-shifted pixels for such files
+        start = len(data) - n
+        if start < pos or data[pos:start].strip() != b"":
+            raise UnsupportedMediaError("netpbm raster size mismatch")
+        arr = np.frombuffer(data, dtype=np.uint8, count=n, offset=start)
         return arr.reshape((h, w) if channels == 1 else (h, w, 3)).copy()
     except UnsupportedMediaError:
         raise
@@ -264,7 +283,18 @@ def _pil_decode(payload: bytes) -> np.ndarray | None:
         return None
     try:
         with _PILImage.open(io.BytesIO(payload)) as im:
-            return np.asarray(im)
+            # condition to the documented uint8 contract: palette/1-bit/
+            # CMYK/YCbCr convert losslessly-enough to 8-bit channels;
+            # 16/32-bit depths fall through to the built-in floor (which
+            # rejects them loudly) rather than silently truncating —
+            # np.asarray on a raw "P" image would return palette INDICES,
+            # a silent wrong decode that differs by installed decoder
+            if im.mode in ("P", "1", "CMYK", "YCbCr"):
+                im = im.convert("RGBA" if "transparency" in im.info else "RGB")
+            elif im.mode not in ("L", "LA", "RGB", "RGBA"):
+                return None
+            arr = np.asarray(im)
+            return arr if arr.dtype == np.uint8 else None
     except Exception:
         return None
 

@@ -867,3 +867,48 @@ def test_random_walks_salted_matches_unsalted(spark, ckpt):
     b = {(r.start, r.widx): list(r.path) for r in base.state.collect()}
     s = {(r.start, r.widx): list(r.path) for r in salted.state.collect()}
     assert b == s
+
+
+def test_csr_kernel_drops_missing_src_like_relational(spark, medium_graph, ckpt):
+    """An edge whose src is absent from the vertex universe must be
+    DROPPED by the CSR kernel (matching the relational kernel's inner
+    join) — unchecked searchsorted would read a neighboring vertex's
+    rank (silent corruption) or index past the block (crash)."""
+    _, verts, enc, edge_list = medium_graph
+    und = E.undirect(enc)
+    # remove one mid-range vertex id from the universe; its out-edges'
+    # srcs now have no state row
+    victim = sorted({u for u, _ in edge_list})[len(edge_list) // 7 % 30]
+    verts_missing = verts.where(F.col("vertex_id") != victim)
+    results = {}
+    for kernel in ("relational", "csr"):
+        res = pagerank(
+            spark, und, verts_missing, ckpt, run_id=f"miss-{kernel}",
+            tolerance=0.0, max_supersteps=5, kernel=kernel,
+            handle_dangling=False, resume=False,
+        )
+        results[kernel] = {r.vertex_id: r.rank for r in res.state.collect()}
+    assert results["relational"].keys() == results["csr"].keys()
+    errs = [
+        abs(results["relational"][v] - results["csr"][v])
+        for v in results["relational"]
+    ]
+    assert max(errs) < 1e-12, max(errs)
+
+
+def test_bfs_and_sssp_reject_disjoint_sources(spark, medium_graph, ckpt):
+    """A seed set disjoint from the vertex universe must raise — not
+    'converge' instantly with every vertex unreached (the guard pagerank's
+    personalized path already has)."""
+    from sharetrace_giraph_spark.algorithms.bfs import bfs
+    from sharetrace_giraph_spark.algorithms.sssp import shortest_paths
+
+    _, verts, enc, _ = medium_graph
+    ghost = spark.createDataFrame([(10**9,)], "vertex_id long")
+    with pytest.raises(ValueError, match="no vertex"):
+        bfs(spark, E.undirect(enc), verts, ghost, ckpt, run_id="g1")
+    with pytest.raises(ValueError, match="no vertex"):
+        shortest_paths(
+            spark, E.undirect(enc).withColumn("w", F.lit(1.0)), verts,
+            ghost, ckpt, run_id="g2",
+        )

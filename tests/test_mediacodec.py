@@ -185,3 +185,34 @@ def test_corrupt_payloads_behind_valid_magic_quarantine(payload):
     whole Spark task."""
     with pytest.raises(UnsupportedMediaError):
         decode_media(payload)
+
+
+def test_png_decompression_bomb_quarantines_not_ooms():
+    """A tiny payload whose header declares giant dimensions (the
+    zip-bomb shape) must raise UnsupportedMediaError via the decode cap,
+    never attempt to materialize gigabytes."""
+    ihdr = struct.pack(">IIBBBBB", 100_000, 100_000, 8, 6, 0, 0, 0)
+    bomb = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13) + b"IHDR" + ihdr
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+    )
+    body = zlib.compress(b"\x00" * 65536)  # highly compressible
+    bomb += struct.pack(">I", len(body)) + b"IDAT" + body + b"\x00" * 4
+    bomb += struct.pack(">I", 0) + b"IEND" + b"\x00" * 4
+    with pytest.raises(UnsupportedMediaError, match="cap"):
+        decode_media(bomb)
+
+
+def test_netpbm_crlf_header_decodes_unshifted():
+    """A CRLF-terminated netpbm header must decode the SAME pixels as the
+    LF-terminated one (end-anchored raster), not silently shift every
+    byte by one; and a raster size mismatch must raise, not mis-read."""
+    img = _rng_img(4, 4)
+    canonical = encode_netpbm(img)
+    header, raster = canonical.split(b"\n255\n")
+    crlf = header + b"\n255\r\n" + raster
+    kind, arr = decode_media(crlf)
+    assert kind == "image" and np.array_equal(arr, img)
+    with pytest.raises(UnsupportedMediaError, match="mismatch"):
+        decode_media(header + b"\n255\n" + raster[:-1])  # one byte short

@@ -357,3 +357,15 @@ def test_generate_docs_planted_structure(spark):
         for b in range(a + 1, g * 5 + 5)
     }
     assert got == want
+
+
+def test_lsh_rejects_inexact_band_division(spark):
+    """num_hashes % bands != 0 would silently drop the trailing
+    min-hashes (shifting the LSH s-curve); the module's no-silent-caps
+    rule demands a loud error instead."""
+    sigs = spark.createDataFrame(
+        [("d1",) + tuple(f"h{i}" for i in range(10))],
+        ["doc_id"] + [f"mh{i}" for i in range(10)],
+    )
+    with pytest.raises(ValueError, match="divide evenly"):
+        dedup.lsh_candidate_pairs(sigs, num_hashes=10, bands=4).collect()
