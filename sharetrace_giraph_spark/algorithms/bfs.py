@@ -77,8 +77,13 @@ def bfs(
     # set disjoint from the vertex universe (typo / id-encoding mismatch)
     # would otherwise produce an empty first frontier and an instantly
     # "converged" run with every vertex UNREACHED — plausible-looking,
-    # silently wrong output
-    if src_set.join(verts, "vertex_id", "left_semi").isEmpty():
+    # silently wrong output. Probe direction matters at scale: verts as
+    # the LEFT side with the (small, API-contract) source set broadcast
+    # makes this a broadcast semi-probe over the already-cached verts
+    # with isEmpty's early exit — the other orientation cannot broadcast
+    # its O(V) build side and would shuffle BOTH sides just to validate
+    # seeds
+    if verts.join(F.broadcast(src_set), "vertex_id", "left_semi").isEmpty():
         raise ValueError("source set has no vertex in the graph")
     init = verts.join(src_set.withColumn("_is_src", F.lit(True)), "vertex_id", "left").select(
         "vertex_id",

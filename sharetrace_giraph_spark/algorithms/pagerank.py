@@ -135,10 +135,14 @@ def pagerank(
     if personalized:
         # intersect with the vertex universe BEFORE counting: a seed not
         # in `vertices` would otherwise deflate 1/|S| and silently leave
-        # sum(pref) < 1 (all-disjoint seeds → every rank 0.0)
-        seeds = (
-            teleport.select("vertex_id").distinct()
-            .join(verts, "vertex_id", "left_semi")
+        # sum(pref) < 1 (all-disjoint seeds → every rank 0.0).
+        # verts LEFT + broadcast(seed set) = broadcast semi-probe over
+        # the cached verts; seeds-left could not broadcast its O(V)
+        # build side and would shuffle both sides (see bfs.py)
+        seeds = verts.join(
+            F.broadcast(teleport.select("vertex_id").distinct()),
+            "vertex_id",
+            "left_semi",
         )
         n_seeds = seeds.count()
         if n_seeds == 0:

@@ -154,7 +154,7 @@ def _banded_keys(
         # the trailing num_hashes % bands min-hashes and shift the LSH
         # s-curve the caller tuned for
         raise ValueError(
-            f"num_hashes ({num_hashes}) must divide evenly into bands ({bands})"
+            f"bands ({bands}) must divide num_hashes ({num_hashes}) evenly"
         )
     rows = num_hashes // bands
     band_cols = [

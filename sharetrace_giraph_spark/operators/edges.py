@@ -247,12 +247,15 @@ def dense_ids(
     single-partition global window (which funnels all N rows through one
     task — the classic ``row_number() OVER (ORDER BY ...)`` scale trap).
 
-    Two-pass range-partitioned assignment: (1) range-partition + sort by
-    key, count rows per partition (P rows to the driver); (2) id =
-    partition offset + (row_number within partition) - 1. Global order is
-    preserved because range partitions are ordered and rows are sorted
-    within each, so the ids are a pure function of the input key set —
-    reproducible regardless of where the sampled range boundaries land.
+    Two-pass range-partitioned assignment, both passes in ONE lazy plan:
+    (1) range-partition by key and compute per-partition row counts →
+    partition offsets (a P-row broadcast self-join, never N rows
+    through one task); (2) id = partition offset + (row_number within
+    partition, ordered by key) - 1. Global order is preserved because range
+    partitions are ordered and rows are sorted within each, so the ids
+    are a pure function of the input key set — reproducible regardless
+    of where the sampled range boundaries land, including across cache
+    eviction and full re-execution (see the offset-plan note below).
     """
     spark = rows.sparkSession
     if num_partitions is None:
@@ -264,15 +267,10 @@ def dense_ids(
         conf = int(spark.conf.get("spark.sql.shuffle.partitions"))
         n_rows = rows.count()
         num_partitions = max(1, min(conf, -(-n_rows // 100_000)))
-    # persisted: (a) the count pass and the id pass must see the SAME range
-    # boundaries; (b) downstream consumers re-evaluate this frame several
-    # times (encode join, init state) and must not replay rows' lineage.
-    # One live cache per call site (same discipline as _SPANS_CACHE): a
-    # long session assigning ids repeatedly must not accumulate pinned
-    # frames. Eviction-safety note: even if a block is dropped and
-    # recomputed, RangePartitioner's sample seed derives from the fixed
-    # RDD id, so the recomputed boundaries — and therefore the ids —
-    # are identical.
+    # persisted so downstream consumers (encode join, init state, the
+    # in-plan offset agg below) don't replay rows' lineage. One live
+    # cache per call site (same discipline as _SPANS_CACHE): a long
+    # session assigning ids repeatedly must not accumulate pinned frames.
     while _IDS_CACHE:
         _IDS_CACHE.pop().unpersist()
     parts = (
@@ -281,15 +279,32 @@ def dense_ids(
         .persist()
     )
     _IDS_CACHE.append(parts)
-    counts = sorted(
-        (r["_pid"], r["n"])
-        for r in parts.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    # partition offsets as a PLAN, not driver-collected constants:
+    # offset(p) = Σ counts of lower partitions, spelled as a broadcast
+    # theta-join + re-agg over the P-ROW per-partition counts (P² pairs
+    # of partition COUNTS, trivial at any loop width — and unlike a
+    # global running-sum window it plans no SinglePartition exchange,
+    # which the plan-discipline suite bans anywhere in this function).
+    # Keeping the offsets inside the same lazy plan is what makes the
+    # ids safe under re-execution: if the persisted blocks above are
+    # evicted (or a LATER dense_ids call releases them), the range
+    # exchange re-runs with a fresh sample seed — RangePartitioner
+    # seeds from the newly compiled plan's RDD id — and the boundaries
+    # MAY move; counts and offsets then recompute from those same new
+    # boundaries, so id = |{rows with smaller key}| either way.
+    # Driver-collected offsets (the previous design) would go stale
+    # against re-sampled boundaries and silently corrupt the ids of any
+    # frame evaluated after an eviction. Within one execution the two
+    # reads of `parts` are consistent too: the cache hit — or,
+    # uncached, ReuseExchange on the identical range shuffle — serves
+    # both from a single materialization.
+    counts = parts.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
+    lower = counts.select(F.col("_pid").alias("_lp"), F.col("_n").alias("_ln"))
+    off = (
+        counts.join(F.broadcast(lower), F.col("_lp") < F.col("_pid"), "left")
+        .groupBy("_pid")
+        .agg(F.coalesce(F.sum("_ln"), F.lit(0)).cast("long").alias("_off"))
     )
-    offsets, acc = [], 0
-    for pid, n in counts:
-        offsets.append((pid, acc))
-        acc += n
-    off = spark.createDataFrame(offsets or [(0, 0)], "_pid int, _off long")
     w = Window.partitionBy("_pid").orderBy(key)
     return (
         parts.join(F.broadcast(off), "_pid")

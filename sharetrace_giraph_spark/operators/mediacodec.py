@@ -214,19 +214,26 @@ def decode_netpbm(data: bytes) -> np.ndarray:
             while pos < len(data) and not data[pos : pos + 1].isspace():
                 pos += 1
             tokens.append(int(data[start:pos]))
-        pos += 1  # single whitespace after maxval
+        pos += 1  # the single whitespace delimiter after maxval
+        # a CRLF-terminated header ("255\r\n") uses a TWO-byte delimiter:
+        # consume the \n too, or the raster would start one byte early
+        if data[pos - 1 : pos] == b"\r" and data[pos : pos + 1] == b"\n":
+            pos += 1
         w, h, maxval = tokens
         if maxval > 255:
             raise UnsupportedMediaError("16-bit netpbm unsupported")
         n = w * h * channels
-        # end-anchor the raster: exactly n bytes from the END, with only
-        # whitespace allowed between header and raster. Tolerates a CRLF-
-        # terminated header but REJECTS size mismatches — offset-anchored
-        # reading would silently decode byte-shifted pixels for such files
-        start = len(data) - n
-        if start < pos or data[pos:start].strip() != b"":
+        # spec-anchor the raster at the byte after the maxval delimiter,
+        # tolerating only trailing WHITESPACE (writers commonly append a
+        # final newline) and REJECTING size mismatches. An END-anchored
+        # read (len(data) - n) would silently decode byte-shifted pixels
+        # for exactly those trailing-newline files whenever the first
+        # pixel value happens to be whitespace (9/10/13/32) — the
+        # leading-gap-is-whitespace guard cannot tell a shifted
+        # whitespace-valued pixel from a header terminator.
+        if len(data) - pos < n or data[pos + n :].strip() != b"":
             raise UnsupportedMediaError("netpbm raster size mismatch")
-        arr = np.frombuffer(data, dtype=np.uint8, count=n, offset=start)
+        arr = np.frombuffer(data, dtype=np.uint8, count=n, offset=pos)
         return arr.reshape((h, w) if channels == 1 else (h, w, 3)).copy()
     except UnsupportedMediaError:
         raise

@@ -54,7 +54,12 @@ DEFAULT_TOLERANCE = 1e-5
 #: reference superstep cap (``giraph-site.xml:43-46``, ``BPContext.java:13``)
 DEFAULT_MAX_SUPERSTEPS = 5
 
-_STEP_RE = re.compile(r"superstep=(\d+)$")
+#: matches the initial-state checkpoint too (``superstep=-1``) — without
+#: the optional minus a job killed during superstep 0 would resume by
+#: RE-DERIVING the initial state instead of reading the committed -1
+#: snapshot, breaking deterministic resume for nondeterministic init
+#: lineages (sampled seeds, current-time cutoffs)
+_STEP_RE = re.compile(r"superstep=(-?\d+)$")
 
 
 def auto_num_partitions(
@@ -508,11 +513,15 @@ class SuperstepDriver:
         are restored on exit.
 
         ``durable_continuation`` (default off): when on, every DURABLE
-        superstep is written synchronously straight from the step's
-        lineage and the loop continues from the parquet files — so on a
-        multi-executor cluster a lost executor's partitions recompute
-        from durable storage and the job survives (task-level
-        recovery). The trade-off is the one the round-4 carry removed:
+        superstep — including the initial ``superstep=-1`` snapshot — is
+        written synchronously straight from the step's lineage and the
+        loop continues from the parquet files — so on a multi-executor
+        cluster a lost executor's partitions recompute from durable
+        storage and the job survives (task-level recovery). Task-level
+        recovery is complete at ``checkpoint_every=1``; with a sparser
+        cadence the in-between supersteps still carry via
+        ``localCheckpoint``, so an executor loss mid-cadence fails the
+        run and ``resume`` falls back to the last durable snapshot. The trade-off is the one the round-4 carry removed:
         a parquet scan forgets its partitioning, so the superstep after
         each durable one re-exchanges the state for its joins. Default
         (off) keeps the minimal-shuffle carry everywhere; recovery is
@@ -544,8 +553,17 @@ class SuperstepDriver:
                 # superstep -1 checkpoint = the initial state, so a job
                 # killed in superstep 0 still resumes deterministically
                 if resume:
-                    state, _ = self._checkpoint_carry(init_state, -1, durable=True)
-                    cur_cached = state
+                    if durable_continuation:
+                        # task-level recovery must hold from the FIRST
+                        # superstep: write the init snapshot synchronously
+                        # and continue from the parquet files — carrying
+                        # it as localCheckpoint blocks would leave
+                        # superstep 0 exposed to exactly the executor
+                        # loss this mode exists to survive
+                        state, _ = self._write_state(init_state, -1)
+                    else:
+                        state, _ = self._checkpoint_carry(init_state, -1, durable=True)
+                        cur_cached = state
                 else:
                     state = init_state
                 start_step = 0

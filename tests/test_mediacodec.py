@@ -206,8 +206,8 @@ def test_png_decompression_bomb_quarantines_not_ooms():
 
 def test_netpbm_crlf_header_decodes_unshifted():
     """A CRLF-terminated netpbm header must decode the SAME pixels as the
-    LF-terminated one (end-anchored raster), not silently shift every
-    byte by one; and a raster size mismatch must raise, not mis-read."""
+    LF-terminated one (the two-byte line ending is ONE delimiter), not
+    silently shift every byte; a raster size mismatch must raise."""
     img = _rng_img(4, 4)
     canonical = encode_netpbm(img)
     header, raster = canonical.split(b"\n255\n")
@@ -216,3 +216,23 @@ def test_netpbm_crlf_header_decodes_unshifted():
     assert kind == "image" and np.array_equal(arr, img)
     with pytest.raises(UnsupportedMediaError, match="mismatch"):
         decode_media(header + b"\n255\n" + raster[:-1])  # one byte short
+
+
+def test_netpbm_trailing_newline_whitespace_pixel_decodes_unshifted():
+    """The adversarial case for END-anchored raster reads: a conforming
+    file with one trailing newline whose FIRST pixel value is itself
+    whitespace (32). End-anchoring would land one byte past the true
+    raster start, see the whitespace-valued first pixel as 'gap between
+    header and raster', and silently decode every pixel shifted by one —
+    spec-anchoring at the header position decodes it exactly."""
+    img = np.arange(32, 48, dtype=np.uint8).reshape(4, 4)  # pixel[0] = 32 = b" "
+    for tail in (b"\n", b"\r\n", b"  \n"):
+        kind, arr = decode_media(encode_netpbm(img) + tail)
+        assert kind == "image" and np.array_equal(arr, img), tail
+    # trailing NON-whitespace garbage is still a loud mismatch
+    with pytest.raises(UnsupportedMediaError, match="mismatch"):
+        decode_media(encode_netpbm(img) + b"\nx")
+    # RGB variant: first pixel triple starts with \t (9)
+    rgb = np.full((2, 2, 3), 9, dtype=np.uint8)
+    kind, arr = decode_media(encode_netpbm(rgb) + b"\n")
+    assert kind == "image" and np.array_equal(arr, rgb)

@@ -219,6 +219,57 @@ def test_metrics_reads_legacy_files_without_written_at(spark, tmp_path):
     assert rows[0].messages != 999  # the new attempt's row wins
 
 
+def test_initial_checkpoint_is_resumable(spark, tmp_path):
+    """A job killed DURING superstep 0 must resume from the committed
+    ``superstep=-1`` init snapshot — not silently re-derive the initial
+    state (regression: the checkpoint-dir regex rejected the minus sign,
+    so ``latest_committed`` never saw the -1 snapshot and the documented
+    'killed in superstep 0 still resumes deterministically' guarantee
+    was dead code)."""
+    drv = SuperstepDriver(spark, str(tmp_path), "i", "halve", num_partitions=4)
+
+    def dying_step(state, k):
+        raise RuntimeError("injected: killed during superstep 0")
+
+    with pytest.raises(RuntimeError, match="superstep 0"):
+        drv.run(_init_state(spark), dying_step, max_supersteps=3, tolerance=0.0)
+    assert latest_committed(str(tmp_path), "i", "halve") == -1
+    # resume must read the committed init — a DIFFERENT init frame passed
+    # on re-invoke (think: re-sampled seeds, a moved now() cutoff) must
+    # not leak into the result
+    drv2 = SuperstepDriver(spark, str(tmp_path), "i", "halve", num_partitions=4)
+    poisoned = _init_state(spark).select(
+        "vertex_id", (F.col("value") * 100).alias("value"), "delta"
+    )
+    res = drv2.run(poisoned, _halve_step, max_supersteps=3, tolerance=0.0)
+    assert res.resumed_from == -1
+    assert _rows(res.state) == [(i, round(2.0 ** -3, 12)) for i in range(64)]
+
+
+def test_durable_continuation_init_snapshot_is_synchronous(spark, tmp_path):
+    """In continuation mode the -1 init snapshot must take the sync
+    parquet path like every other durable step: carrying it as
+    localCheckpoint blocks would leave superstep 0 exposed to exactly
+    the executor loss the mode exists to survive."""
+    drv = SuperstepDriver(spark, str(tmp_path), "s", "halve", num_partitions=4)
+    carried = []
+    orig = drv._checkpoint_carry
+
+    def spy(state, superstep, durable):
+        carried.append(superstep)
+        return orig(state, superstep, durable)
+
+    drv._checkpoint_carry = spy
+    res = drv.run(_init_state(spark), _halve_step, max_supersteps=2,
+                  tolerance=0.0, checkpoint_every=1, durable_continuation=True)
+    assert carried == []  # every snapshot, including -1, went sync
+    assert os.path.exists(os.path.join(
+        str(tmp_path), "s", "halve", "state", "superstep=-1", "_SUCCESS"
+    ))
+    assert res.supersteps_run == 2
+    assert drv._pending_write is None
+
+
 def test_durable_continuation_convergence_agg_is_bounded(spark, tmp_path, monkeypatch):
     """durable_continuation's convergence aggregates must survive a
     dropped Observation event (async listener bus under pressure): the

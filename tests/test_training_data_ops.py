@@ -367,5 +367,5 @@ def test_lsh_rejects_inexact_band_division(spark):
         [("d1",) + tuple(f"h{i}" for i in range(10))],
         ["doc_id"] + [f"mh{i}" for i in range(10)],
     )
-    with pytest.raises(ValueError, match="divide evenly"):
+    with pytest.raises(ValueError, match="must divide num_hashes"):
         dedup.lsh_candidate_pairs(sigs, num_hashes=10, bands=4).collect()
