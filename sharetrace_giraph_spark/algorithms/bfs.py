@@ -78,12 +78,14 @@ def bfs(
     # would otherwise produce an empty first frontier and an instantly
     # "converged" run with every vertex UNREACHED — plausible-looking,
     # silently wrong output. Probe direction matters at scale: verts as
-    # the LEFT side with the (small, API-contract) source set broadcast
-    # makes this a broadcast semi-probe over the already-cached verts
-    # with isEmpty's early exit — the other orientation cannot broadcast
-    # its O(V) build side and would shuffle BOTH sides just to validate
-    # seeds
-    if verts.join(F.broadcast(src_set), "vertex_id", "left_semi").isEmpty():
+    # the LEFT side puts the SOURCE set on the semi-join's build side,
+    # so for the typical handful of seeds AQE broadcasts it and the
+    # check is a probe over the already-cached verts with isEmpty's
+    # early exit — while an unbounded source cohort (nothing in the API
+    # caps `sources`) degrades to a shuffle join instead of a forced
+    # driver-OOM broadcast. The flipped orientation could never
+    # broadcast its O(V) build side at all.
+    if verts.join(src_set, "vertex_id", "left_semi").isEmpty():
         raise ValueError("source set has no vertex in the graph")
     init = verts.join(src_set.withColumn("_is_src", F.lit(True)), "vertex_id", "left").select(
         "vertex_id",

@@ -136,11 +136,13 @@ def pagerank(
         # intersect with the vertex universe BEFORE counting: a seed not
         # in `vertices` would otherwise deflate 1/|S| and silently leave
         # sum(pref) < 1 (all-disjoint seeds → every rank 0.0).
-        # verts LEFT + broadcast(seed set) = broadcast semi-probe over
-        # the cached verts; seeds-left could not broadcast its O(V)
-        # build side and would shuffle both sides (see bfs.py)
+        # verts LEFT puts the seed set on the build side: AQE
+        # broadcasts the typical tiny teleport set (probe over the
+        # cached verts) and shuffle-degrades an unbounded seed cohort
+        # instead of force-broadcasting it (see bfs.py); seeds-left
+        # could never broadcast its O(V) build side at all
         seeds = verts.join(
-            F.broadcast(teleport.select("vertex_id").distinct()),
+            teleport.select("vertex_id").distinct(),
             "vertex_id",
             "left_semi",
         )

@@ -79,10 +79,11 @@ def shortest_paths(
     # set disjoint from the vertex universe (typo / id-encoding mismatch)
     # would otherwise produce an empty first frontier and an instantly
     # "converged" run with every vertex UNREACHED — plausible-looking,
-    # silently wrong output. verts LEFT + broadcast(src_set) = broadcast
-    # semi-probe over the cached verts with early exit; the other
-    # orientation would shuffle both sides (see bfs.py)
-    if verts.join(F.broadcast(src_set), "vertex_id", "left_semi").isEmpty():
+    # silently wrong output. verts LEFT puts the source set on the
+    # build side: AQE broadcasts the typical tiny seed set (probe over
+    # cached verts, early exit) and shuffle-degrades an unbounded
+    # cohort instead of force-broadcasting it (see bfs.py)
+    if verts.join(src_set, "vertex_id", "left_semi").isEmpty():
         raise ValueError("source set has no vertex in the graph")
     init = verts.join(src_set.withColumn("_is_src", F.lit(True)), "vertex_id", "left").select(
         "vertex_id",

@@ -300,11 +300,19 @@ def dense_ids(
     # both from a single materialization.
     counts = parts.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
     lower = counts.select(F.col("_pid").alias("_lp"), F.col("_n").alias("_ln"))
+    # the P-row offsets frame is persisted alongside parts (and evicted
+    # with it, keeping the consistency story above: either both caches
+    # serve a downstream action or both recompute within one execution)
+    # so repeated actions over the returned frame — the docstring's
+    # encode join, init state, ... — pay the O(N) counts scan once, not
+    # once per action
     off = (
         counts.join(F.broadcast(lower), F.col("_lp") < F.col("_pid"), "left")
         .groupBy("_pid")
         .agg(F.coalesce(F.sum("_ln"), F.lit(0)).cast("long").alias("_off"))
+        .persist()
     )
+    _IDS_CACHE.append(off)
     w = Window.partitionBy("_pid").orderBy(key)
     return (
         parts.join(F.broadcast(off), "_pid")

@@ -214,26 +214,40 @@ def decode_netpbm(data: bytes) -> np.ndarray:
             while pos < len(data) and not data[pos : pos + 1].isspace():
                 pos += 1
             tokens.append(int(data[start:pos]))
-        pos += 1  # the single whitespace delimiter after maxval
-        # a CRLF-terminated header ("255\r\n") uses a TWO-byte delimiter:
-        # consume the \n too, or the raster would start one byte early
-        if data[pos - 1 : pos] == b"\r" and data[pos : pos + 1] == b"\n":
-            pos += 1
+        pos += 1  # the single whitespace delimiter after maxval (spec)
         w, h, maxval = tokens
         if maxval > 255:
             raise UnsupportedMediaError("16-bit netpbm unsupported")
         n = w * h * channels
-        # spec-anchor the raster at the byte after the maxval delimiter,
-        # tolerating only trailing WHITESPACE (writers commonly append a
-        # final newline) and REJECTING size mismatches. An END-anchored
-        # read (len(data) - n) would silently decode byte-shifted pixels
-        # for exactly those trailing-newline files whenever the first
-        # pixel value happens to be whitespace (9/10/13/32) — the
-        # leading-gap-is-whitespace guard cannot tell a shifted
-        # whitespace-valued pixel from a header terminator.
-        if len(data) - pos < n or data[pos + n :].strip() != b"":
+        # Raster anchoring. Spec: the raster starts at the byte after
+        # the single maxval delimiter (`pos`), and we tolerate only
+        # trailing WHITESPACE (writers commonly append a final newline).
+        # An END-anchored read (len(data) - n) would silently decode
+        # byte-shifted pixels for exactly those trailing-newline files
+        # whenever the first pixel value happens to be whitespace.
+        # One wrinkle: a CRLF-terminated header ("255\r\n", common
+        # nonconforming two-byte delimiter) is byte-identical to a
+        # bare-CR-delimited header whose first pixel is \n (10) — so
+        # when the delimiter was \r and the next byte is \n, BOTH
+        # candidate starts are checked against the payload size and a
+        # file where both fit is rejected as ambiguous rather than
+        # silently decoded one byte off in either direction (the
+        # module's never-a-silent-wrong-decode contract).
+        candidates = [pos]
+        if data[pos - 1 : pos] == b"\r" and data[pos : pos + 1] == b"\n":
+            candidates.append(pos + 1)
+        starts = [
+            p
+            for p in candidates
+            if len(data) - p >= n and data[p + n :].strip() == b""
+        ]
+        if not starts:
             raise UnsupportedMediaError("netpbm raster size mismatch")
-        arr = np.frombuffer(data, dtype=np.uint8, count=n, offset=pos)
+        if len(starts) > 1:
+            raise UnsupportedMediaError(
+                "ambiguous netpbm raster start (CR vs CRLF header delimiter)"
+            )
+        arr = np.frombuffer(data, dtype=np.uint8, count=n, offset=starts[0])
         return arr.reshape((h, w) if channels == 1 else (h, w, 3)).copy()
     except UnsupportedMediaError:
         raise

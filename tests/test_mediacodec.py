@@ -236,3 +236,24 @@ def test_netpbm_trailing_newline_whitespace_pixel_decodes_unshifted():
     rgb = np.full((2, 2, 3), 9, dtype=np.uint8)
     kind, arr = decode_media(encode_netpbm(rgb) + b"\n")
     assert kind == "image" and np.array_equal(arr, rgb)
+
+
+def test_netpbm_bare_cr_delimiter_decodes_or_raises_never_shifts():
+    """A bare CR is a valid single-whitespace maxval delimiter. With a
+    first pixel of \\n (10) the bytes are identical to a CRLF-delimited
+    header — when only ONE reading fits the payload size, decode that
+    one; when BOTH fit, refuse loudly instead of guessing (a guess is a
+    silent one-byte shift under whichever writer produced the file)."""
+    img = np.array([[10, 7], [7, 7]], dtype=np.uint8)  # pixel[0] = 10 = b"\n"
+    raster = img.tobytes()
+    # bare-CR delimiter, exact size: only the CR reading fits -> decode
+    kind, arr = decode_media(b"P5\n2 2\n255\r" + raster)
+    assert kind == "image" and np.array_equal(arr, img)
+    # trailing newline makes BOTH readings fit -> ambiguous, refuse
+    with pytest.raises(UnsupportedMediaError, match="ambiguous"):
+        decode_media(b"P5\n2 2\n255\r" + raster + b"\n")
+    # a normal CRLF file (first pixel not forming a second valid fit)
+    # still decodes via the CRLF reading
+    img2 = np.array([[10, 7], [7, 8]], dtype=np.uint8)
+    kind, arr = decode_media(b"P5\n2 2\n255\r\n" + img2.tobytes())
+    assert kind == "image" and np.array_equal(arr, img2)
