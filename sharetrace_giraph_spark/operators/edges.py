@@ -235,8 +235,10 @@ def _tool_cooccurrence(
 # Vertex encoding: string actor ids → dense longs for the iteration kernels.
 # ---------------------------------------------------------------------------
 
-#: the range-partitioned frame backing the most recent dense_ids call —
-#: downstream consumers re-scan it, so it stays live until the NEXT call
+#: the TWO persisted frames backing the most recent dense_ids call (the
+#: range-partitioned rows and the P-row partition offsets derived from
+#: them) — downstream consumers re-scan both, so they stay live, and are
+#: evicted together, until the NEXT call
 _IDS_CACHE: list = []
 
 

@@ -11,9 +11,12 @@ fully decodable with what IS here (zlib, struct, wave, numpy):
 - **Netpbm** P5 (PGM, grayscale) / P6 (PPM, RGB), binary, maxval 255.
 - **WAV** PCM16 mono/stereo via the stdlib ``wave`` module.
 
-When PIL/Pillow IS importable, :func:`decode_media` prefers it for
-images (it covers JPEG etc.); these built-ins are the dependency-free
-floor that keeps the real-decode path exercisable in any environment.
+When PIL/Pillow IS importable, :func:`decode_media` prefers it for PNG
+and non-built-in formats (JPEG etc.); netpbm ALWAYS uses the built-in
+decoder — PIL's raster anchoring silently shifts CRLF-header files, and
+netpbm must decode identically in every environment. These built-ins
+are the dependency-free floor that keeps the real-decode path
+exercisable anywhere.
 
 Encoders exist so tests can round-trip pixel-exactly without fixture
 binaries. Not supported (by design, this is a floor not a library):
@@ -324,18 +327,27 @@ def decode_media(payload: bytes) -> tuple[str, np.ndarray]:
     """Sniff and decode a media payload.
 
     Returns ``(kind, array)``: kind ``"image"`` with a uint8 pixel array,
-    or ``"audio"`` with an int16 sample array. Prefers PIL for images
-    when importable (covers JPEG/WebP/...); otherwise uses the built-in
-    PNG/netpbm floor. Raises :class:`UnsupportedMediaError` for anything
+    or ``"audio"`` with an int16 sample array. Prefers PIL, when
+    importable, for PNG and non-built-in formats (JPEG/WebP/...);
+    netpbm always decodes via the built-in (see the module docstring).
+    Raises :class:`UnsupportedMediaError` for anything
     else — including corrupt payloads behind a valid signature — a data
     error the caller routes to a quarantine column, never a stubbed
     NotImplementedError or a raw codec exception."""
-    if payload.startswith(_PNG_SIG) or payload[:2] in (b"P5", b"P6"):
-        img = _pil_decode(payload)  # optional fast path
+    if payload.startswith(_PNG_SIG):
+        img = _pil_decode(payload)  # optional fast path, same pixels
         if img is not None:
             return "image", img
-        if payload.startswith(_PNG_SIG):
-            return "image", decode_png(payload)
+        return "image", decode_png(payload)
+    if payload[:2] in (b"P5", b"P6"):
+        # built-in ONLY, even when PIL is installed: PIL anchors the
+        # raster at the byte after the maxval delimiter unconditionally,
+        # so a CRLF-header (or ambiguous bare-CR) file decodes silently
+        # one byte shifted there — the same-result-in-every-environment
+        # / never-a-silent-wrong-decode contract outweighs PIL's extra
+        # netpbm variants (plain P2/P3, 16-bit), which now quarantine
+        # identically everywhere instead of decoding only where PIL
+        # happens to exist
         return "image", decode_netpbm(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "audio", decode_wav(payload)[0]
