@@ -43,7 +43,7 @@ def undirected_degree(edges: DataFrame) -> DataFrame:
     )
 
 
-def triangle_list(edges: DataFrame) -> DataFrame:
+def triangle_list(edges: DataFrame, num_partitions: int | None = None) -> DataFrame:
     """Triangle enumeration ``(a, b, c)`` (each triangle exactly once) via
     the degree-oriented wedge join; ``edges`` canonical (src < dst). The
     returned frame (and the oriented edge table under it) is persisted and
@@ -52,7 +52,19 @@ def triangle_list(edges: DataFrame) -> DataFrame:
     one triangle table (a prior call's returned frame stays valid — it
     just recomputes if used after a later call)."""
     release_cached()
-    e = edges.select("src", "dst").distinct()
+    if num_partitions is None:
+        num_partitions = int(
+            edges.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+    # e is consumed by the degree agg, the orientation join, AND every
+    # broadcast build below — uncached, each of those jobs re-executes
+    # the caller's whole edge lineage (measured: a single tri.count()
+    # launched ~29 jobs of ~100 tasks each when the upstream was a chain
+    # of broadcast joins with no exchange to reuse). One O(E) cache
+    # materializes the lineage exactly once; released with the other
+    # intermediates by release_cached().
+    e = edges.select("src", "dst").distinct().persist()
+    _CACHED.append(e)
     deg = undirected_degree(e)
 
     # orientation order = lexicographic (deg, id) compared directly as a
@@ -63,11 +75,27 @@ def triangle_list(edges: DataFrame) -> DataFrame:
         .join(deg.select(F.col("v").alias("dst"), F.col("deg").alias("dst_deg")), "dst")
     )
     src_lt = F.struct(F.col("src_deg"), F.col("src")) < F.struct(F.col("dst_deg"), F.col("dst"))
-    oriented = er.select(
-        F.when(src_lt, F.col("src")).otherwise(F.col("dst")).alias("lo"),
-        F.when(src_lt, F.col("dst")).otherwise(F.col("src")).alias("hi"),
-        F.when(src_lt, F.col("dst_deg")).otherwise(F.col("src_deg")).alias("hi_deg"),
-    ).persist()
+    # The EXPLICIT hash repartition on the wedge apex is load-bearing, not
+    # hygiene: when the upstream edge lineage is small enough for Catalyst
+    # to broadcast every dimension join (the usual plan once the vertex-id
+    # map carries exact cache statistics), the whole oriented table
+    # inherits the partition count of whatever tiny cached relation got
+    # STREAMED — possibly ONE partition after AQE coalescing — and the
+    # O(E^1.5) wedge self-join below would run as a single task. The
+    # engine's parallelism must never be an accident of join-strategy
+    # choice. Hashing on `lo` also co-partitions BOTH aliases of the
+    # self-join (equi key = lo), so this is the wedge join's only
+    # exchange; orientation bounds rows per `lo` at O(sqrt E), so the
+    # hash cannot be skewed by hubs.
+    oriented = (
+        er.select(
+            F.when(src_lt, F.col("src")).otherwise(F.col("dst")).alias("lo"),
+            F.when(src_lt, F.col("dst")).otherwise(F.col("src")).alias("hi"),
+            F.when(src_lt, F.col("dst_deg")).otherwise(F.col("src_deg")).alias("hi_deg"),
+        )
+        .repartition(num_partitions, "lo")
+        .persist()
+    )
     _CACHED.append(oriented)
 
     e1, e2 = oriented.alias("e1"), oriented.alias("e2")

@@ -235,15 +235,21 @@ def _tool_cooccurrence(
 # Vertex encoding: string actor ids → dense longs for the iteration kernels.
 # ---------------------------------------------------------------------------
 
-#: the TWO persisted frames backing the most recent dense_ids call (the
+#: the TWO persisted frames backing a dense_ids materialization (the
 #: range-partitioned rows and the P-row partition offsets derived from
-#: them) — downstream consumers re-scan both, so they stay live, and are
-#: evicted together, until the NEXT call
+#: them). On the default truncate_lineage path they live only for the
+#: call's own eager checkpoint; on the raw-plan path (truncate_lineage=
+#: False) downstream consumers re-scan both, so they stay live until the
+#: NEXT call evicts them.
 _IDS_CACHE: list = []
 
 
 def dense_ids(
-    rows: DataFrame, key: str, out: str = "vertex_id", num_partitions: int | None = None
+    rows: DataFrame,
+    key: str,
+    out: str = "vertex_id",
+    num_partitions: int | None = None,
+    truncate_lineage: bool = True,
 ) -> DataFrame:
     """Dense deterministic ids 0..N-1 by global ``key`` order, WITHOUT a
     single-partition global window (which funnels all N rows through one
@@ -258,6 +264,24 @@ def dense_ids(
     are a pure function of the input key set — reproducible regardless
     of where the sampled range boundaries land, including across cache
     eviction and full re-execution (see the offset-plan note below).
+
+    ``truncate_lineage`` (default on): the assembled id table is
+    materialized ONCE by an eager ``localCheckpoint`` and consumers see a
+    bare ``LogicalRDD`` scan. This is load-bearing for the driver's
+    serial floor, not a cache nicety: the in-plan offsets embed the
+    ``parts`` lineage (and, through it, the caller's whole edge
+    derivation) THREE times inside the id table's logical plan, a vertex
+    map is referenced at least twice by every encode join, and AQE
+    re-optimizes the surrounding query once per query stage — measured
+    on the sf0.1 bench graph, leaving the lineage in place made the
+    triangle pipeline's per-action driver overhead ~2.5× the task time
+    of the whole job. Determinism strengthens: the ids are frozen at
+    materialization, so no re-execution — hence no boundary re-sample —
+    can ever be observed by a consumer. The materialization caches are
+    released before returning (nothing reads them afterwards); the
+    checkpoint blocks themselves are freed by the ContextCleaner when
+    the returned frame is dropped. Pass ``False`` to inspect or compose
+    the raw assignment plan (the plan-discipline suite does).
     """
     spark = rows.sparkSession
     if num_partitions is None:
@@ -316,13 +340,21 @@ def dense_ids(
     )
     _IDS_CACHE.append(off)
     w = Window.partitionBy("_pid").orderBy(key)
-    return (
+    assembled = (
         parts.join(F.broadcast(off), "_pid")
         .select(
             (F.col("_off") + F.row_number().over(w) - 1).cast("long").alias(out),
             key,
         )
     )
+    if not truncate_lineage:
+        return assembled
+    ids = assembled.localCheckpoint(eager=True)
+    # the checkpointed blocks are now the single source downstream reads;
+    # the two materialization caches have served their one execution
+    while _IDS_CACHE:
+        _IDS_CACHE.pop().unpersist()
+    return ids
 
 
 def vertex_ids(contacts: DataFrame) -> DataFrame:

@@ -60,7 +60,10 @@ def test_vertex_ids_no_single_partition_exchange(spark):
     df = spark.range(0, 1000).select(
         F.format_string("r%05d", F.col("id")).alias("role")
     )
-    plan = _plan(dense_ids(df, "role", num_partitions=8))
+    # truncate_lineage=False exposes the raw assignment plan (the default
+    # path eagerly checkpoints, leaving only a LogicalRDD scan to inspect
+    # — which would make this assertion vacuous)
+    plan = _plan(dense_ids(df, "role", num_partitions=8, truncate_lineage=False))
     assert "SinglePartition" not in plan
     # auto path: tiny input → narrow plan, ids still dense 0..N-1 in order
     auto = dense_ids(df, "role")
