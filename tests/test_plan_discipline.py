@@ -72,6 +72,51 @@ def test_vertex_ids_no_single_partition_exchange(spark):
     assert rows[0].role == "r00000" and rows[-1].role == "r00999"
 
 
+def test_dense_ids_truncate_lineage_and_wedge_width(spark):
+    """Regression pins for the round-5 dense-id slowdown (BENCH.md
+    'Round-5 late regression'):
+
+    1. The default dense_ids path must hand consumers a bare scan of the
+       materialized id table — NOT the assignment lineage. The in-plan
+       offsets embed the range-partitioned subtree three times, every
+       encode join references the id table twice, and AQE re-optimizes
+       per query stage, so a leaked lineage multiplies driver-serial
+       planning cost into every downstream action (measured ~2.5x the
+       task time of a triangle count).
+    2. The triangle wedge join's parallelism must be pinned by
+       construction: the oriented table is hash-repartitioned on the
+       wedge apex at the configured width, never inheriting a
+       possibly-1-partition layout from whatever tiny cached relation
+       the encode joins happened to stream.
+    """
+    from sharetrace_giraph_spark.algorithms.triangle_count import (
+        _CACHED,
+        triangle_list,
+    )
+    from sharetrace_giraph_spark.operators.edges import dense_ids
+
+    df = spark.range(0, 500).select(
+        F.format_string("r%05d", F.col("id")).alias("role")
+    )
+    ids = dense_ids(df, "role", num_partitions=4)
+    # truncated: the analyzed plan is a single leaf (LogicalRDD scan),
+    # with none of the assignment machinery visible to consumers
+    analyzed = ids._jdf.queryExecution().analyzed().toString()
+    assert "LogicalRDD" in analyzed
+    for leaked in ("Window", "Join", "RepartitionByExpression"):
+        assert leaked not in analyzed, f"lineage leaked a {leaked} node"
+
+    edges = spark.createDataFrame(
+        [(a, b) for a in range(8) for b in range(a + 1, 8)],
+        "src long, dst long",
+    )  # K8: 56 triangles
+    tri = triangle_list(edges.repartition(1))  # worst-case upstream layout
+    assert tri.count() == 56
+    oriented = _CACHED[-2]  # [e, oriented, tri]
+    width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert oriented.rdd.getNumPartitions() == width
+
+
 def test_triangle_orientation_no_single_partition(spark):
     """Degree orientation compares (deg, id) structs — no global sort."""
     from sharetrace_giraph_spark.algorithms import triangles
