@@ -60,7 +60,23 @@ def square_pair_counts(edges: DataFrame) -> DataFrame:
     final — the shuffle carries (u, w, type) wedge rows, never H-wedges),
     then a scalar per-row polynomial. No windows, no collect.
     """
-    e = edges.select("src", "dst").distinct()
+    # same caching/width discipline as triangle_count.triangle_list, same
+    # registry (so __spark_entry__'s per-query release covers both): e is
+    # re-read by the degree agg, the orientation join, and every join
+    # build below — uncached, each re-executes the caller's edge lineage;
+    # and the oriented table's width is pinned explicitly so the two
+    # O(E^1.5) wedge self-joins can never inherit a 1-partition layout
+    # from a broadcast-streamed upstream (see BENCH.md, 'Round-5 late
+    # regression'). Hash on `lo` co-partitions both aliases of the L
+    # join and the build side of the M join.
+    from .triangle_count import _CACHED, release_cached
+
+    release_cached()
+    num_partitions = int(
+        edges.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    e = edges.select("src", "dst").distinct().persist()
+    _CACHED.append(e)
     deg = (
         e.select(F.col("src").alias("v"))
         .unionByName(e.select(F.col("dst").alias("v")))
@@ -74,12 +90,17 @@ def square_pair_counts(edges: DataFrame) -> DataFrame:
     src_lt = F.struct(F.col("src_deg"), F.col("src")) < F.struct(F.col("dst_deg"), F.col("dst"))
     # lo ≺ hi; keep both endpoint degrees: rank comparisons between wedge
     # endpoints need (deg, id) structs on each side
-    oriented = er.select(
-        F.when(src_lt, F.col("src")).otherwise(F.col("dst")).alias("lo"),
-        F.when(src_lt, F.col("dst")).otherwise(F.col("src")).alias("hi"),
-        F.when(src_lt, F.col("src_deg")).otherwise(F.col("dst_deg")).alias("lo_deg"),
-        F.when(src_lt, F.col("dst_deg")).otherwise(F.col("src_deg")).alias("hi_deg"),
+    oriented = (
+        er.select(
+            F.when(src_lt, F.col("src")).otherwise(F.col("dst")).alias("lo"),
+            F.when(src_lt, F.col("dst")).otherwise(F.col("src")).alias("hi"),
+            F.when(src_lt, F.col("src_deg")).otherwise(F.col("dst_deg")).alias("lo_deg"),
+            F.when(src_lt, F.col("dst_deg")).otherwise(F.col("src_deg")).alias("hi_deg"),
+        )
+        .repartition(num_partitions, "lo")
+        .persist()
     )
+    _CACHED.append(oriented)
 
     # L: out-out wedges v→u, v→w — pair key rank-ordered via the hi_deg structs
     e1, e2 = oriented.alias("e1"), oriented.alias("e2")
