@@ -61,7 +61,12 @@ def square_pair_counts(edges: DataFrame) -> DataFrame:
     then a scalar per-row polynomial. No windows, no collect.
     """
     # same caching/width discipline as triangle_count.triangle_list, same
-    # registry (so __spark_entry__'s per-query release covers both): e is
+    # registry — including its documented eviction contract: each call
+    # first releases the PREVIOUS call's registrations, so no caller
+    # sequence pins more than one set of intermediates; a prior call's
+    # still-lazy result stays CORRECT if evaluated later (its lineage
+    # recomputes, merely uncached), and __spark_entry__'s per-query
+    # release covers both modules. e is
     # re-read by the degree agg, the orientation join, and every join
     # build below — uncached, each re-executes the caller's edge lineage;
     # and the oriented table's width is pinned explicitly so the two
